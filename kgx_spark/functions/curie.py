@@ -1,0 +1,85 @@
+"""CURIE/IRI column expressions.
+
+Reference: kgx/prefix_manager.py
+- contract (URI → CURIE, longest-match reverse prefix map): 126-151
+- expand (CURIE → URI): 104-124
+- is_curie regex: 153-174; is_iri: 176-196
+- get_prefix / get_reference: 198-248
+
+The reference LRU-caches per-string Python calls; here the prefix map is a
+plain dict baked into a generated expression (for small maps) — at cluster
+scale the map is broadcast once per job and the expression is codegen'd
+JVM-side, so there is no per-row Python and no executor-side library call.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Subset of the Biolink JSON-LD context the reference loads at
+# kgx/prefix_manager.py:50-76; enough for tests — callers pass their own map.
+DEFAULT_PREFIX_MAP: dict[str, str] = {
+    "biolink": "https://w3id.org/biolink/vocab/",
+    "HGNC": "http://identifiers.org/hgnc/",
+    "NCBIGene": "http://identifiers.org/ncbigene/",
+    "ENSEMBL": "http://identifiers.org/ensembl/",
+    "MONDO": "http://purl.obolibrary.org/obo/MONDO_",
+    "GO": "http://purl.obolibrary.org/obo/GO_",
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "owl": "http://www.w3.org/2002/07/owl#",
+    "PMID": "http://www.ncbi.nlm.nih.gov/pubmed/",
+}
+
+CURIE_REGEX = r"^[^ <()>:]*:[^/ :]+$"  # kgx/prefix_manager.py:166
+
+
+def is_curie(col: Column) -> Column:
+    """Column<bool>: value matches the CURIE shape (prefix_manager.py:153-174)."""
+    return col.rlike(CURIE_REGEX)
+
+
+def is_iri(col: Column) -> Column:
+    """Column<bool>: value starts with http/https (prefix_manager.py:176-196)."""
+    return col.startswith("http://") | col.startswith("https://")
+
+
+def curie_prefix(col: Column) -> Column:
+    """Prefix before the first ':' (prefix_manager.py:198-223)."""
+    return F.when(col.contains(":"), F.split_part(col, F.lit(":"), F.lit(1)))
+
+
+def curie_reference(col: Column) -> Column:
+    """Reference after the first ':' (prefix_manager.py:225-248)."""
+    return F.when(
+        col.contains(":"),
+        F.substring(col, F.length(F.split_part(col, F.lit(":"), F.lit(1))) + 2, 2**30),
+    )
+
+
+def contract(col: Column, prefix_map: dict[str, str] | None = None) -> Column:
+    """URI → CURIE by longest-URI-first prefix match (prefix_manager.py:126-151).
+
+    Generated when/otherwise chain over prefixes sorted by descending URI
+    length (longest match wins, as in the reference's reverse map lookup).
+    Falls through to the original value when no prefix matches.
+    """
+    pm = prefix_map or DEFAULT_PREFIX_MAP
+    expr = None
+    for prefix, uri in sorted(pm.items(), key=lambda kv: -len(kv[1])):
+        hit = col.startswith(uri)
+        val = F.concat(F.lit(prefix + ":"), F.substring(col, len(uri) + 1, 2**30))
+        expr = F.when(hit, val) if expr is None else expr.when(hit, val)
+    return col if expr is None else expr.otherwise(col)
+
+
+def expand(col: Column, prefix_map: dict[str, str] | None = None) -> Column:
+    """CURIE → URI (prefix_manager.py:104-124). Unknown prefixes pass through."""
+    pm = prefix_map or DEFAULT_PREFIX_MAP
+    pfx = curie_prefix(col)
+    mapping = F.create_map(*[F.lit(x) for kv in pm.items() for x in kv])
+    uri = F.element_at(mapping, pfx)
+    return F.when(
+        is_curie(col) & uri.isNotNull(), F.concat(uri, curie_reference(col))
+    ).otherwise(col)

@@ -1,0 +1,87 @@
+"""Scalar-function parity tests (reference: kgx/prefix_manager.py, kgx/utils)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from kgx_spark.functions import (
+    contract,
+    curie_prefix,
+    curie_reference,
+    deterministic_edge_id,
+    edge_key,
+    expand,
+    format_biolink_category,
+    format_biolink_slot,
+    infores_curie,
+    is_curie,
+    is_iri,
+    sentence_case,
+    snake_case,
+)
+
+
+def one(spark, expr):
+    return spark.range(1).select(expr.alias("v")).first()["v"]
+
+
+@pytest.mark.parametrize(
+    "value,expected",
+    [
+        ("HGNC:10848", True),
+        ("biolink:Gene", True),
+        ("http://example.org/x", False),
+        ("no colon here", False),
+    ],
+)
+def test_is_curie(spark, value, expected):
+    # regex per kgx/prefix_manager.py:166
+    assert one(spark, is_curie(F.lit(value))) is expected
+
+
+def test_is_iri(spark):
+    assert one(spark, is_iri(F.lit("https://w3id.org/biolink/vocab/Gene"))) is True
+    assert one(spark, is_iri(F.lit("HGNC:123"))) is False
+
+
+def test_contract_expand_roundtrip(spark):
+    iri = "https://w3id.org/biolink/vocab/Gene"
+    assert one(spark, contract(F.lit(iri))) == "biolink:Gene"
+    assert one(spark, expand(F.lit("biolink:Gene"))) == iri
+    # unknown prefix passes through
+    assert one(spark, contract(F.lit("http://unknown.example/x"))) == "http://unknown.example/x"
+    assert one(spark, expand(F.lit("FOO:bar"))) == "FOO:bar"
+
+
+def test_contract_longest_match(spark):
+    # MONDO URI shares the obolibrary host; longest prefix must win
+    assert one(spark, contract(F.lit("http://purl.obolibrary.org/obo/MONDO_0005148"))) == "MONDO:0005148"
+
+
+def test_prefix_reference(spark):
+    assert one(spark, curie_prefix(F.lit("HGNC:10848"))) == "HGNC"
+    assert one(spark, curie_reference(F.lit("HGNC:10848"))) == "10848"
+
+
+def test_case_conversions(spark):
+    # kgx/utils/kgx_utils.py:116-187 semantics
+    assert one(spark, sentence_case(F.lit("NamedThing"))) == "named thing"
+    assert one(spark, sentence_case(F.lit("related_to"))) == "related to"
+    assert one(spark, snake_case(F.lit("related to"))) == "related_to"
+    assert one(spark, format_biolink_category(F.lit("named thing"))) == "biolink:NamedThing"
+    assert one(spark, format_biolink_category(F.lit("biolink:Gene"))) == "biolink:Gene"
+    assert one(spark, format_biolink_slot(F.lit("related to"))) == "biolink:related_to"
+
+
+def test_infores(spark):
+    # pipeline per kgx/utils/infores.py:146-162
+    assert one(spark, infores_curie(F.lit("Semantic Medline Database"))) == "infores:semantic-medline-database"
+    assert one(spark, infores_curie(F.lit("infores:chembl"))) == "infores:chembl"
+    assert one(spark, infores_curie(F.lit("  FooBar.Baz  "))) == "infores:foobar-baz"
+
+
+def test_edge_key_and_id(spark):
+    # '{s}-{p}-{o}' per kgx/utils/kgx_utils.py:343-364
+    key = one(spark, edge_key(F.lit("A:1"), F.lit("biolink:related_to"), F.lit("B:2")))
+    assert key == "A:1-biolink:related_to-B:2"
+    eid = one(spark, deterministic_edge_id(F.lit("A:1"), F.lit("biolink:related_to"), F.lit("B:2")))
+    assert len(eid) == 64  # sha2-256 hex
