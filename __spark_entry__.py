@@ -1,38 +1,743 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each entry in ``queries()`` exercises one operator from SURVEY.md §2 (or a
+training-data-pipeline operator) over KGX-shaped fixtures derived
+deterministically from the driver's parquet tables (kgx_spark/fixtures.py
+documents the shared derivation contract); ``oracle_sql()`` reproduces the
+expected result in closed form (or replicates the same algorithm) in DuckDB
+SQL. Array-valued results are '|'-joined to strings so value hashing is
+representation-independent; float-derived scores are integer-quantized.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgx_spark import fixtures as FX
+from kgx_spark.functions.curie import contract, expand
+from kgx_spark.functions.infores import infores_curie
+from kgx_spark.functions.keys import deterministic_edge_id, edge_key
+from kgx_spark.operators.clique import clique_merge
+from kgx_spark.operators.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+)
+from kgx_spark.operators.filters import apply_edge_filters, apply_node_filters
+from kgx_spark.operators.graph_ops import (
+    fold_predicate,
+    node_degree,
+    remap_node_identifier,
+    remove_singleton_nodes,
+    unfold_node_property,
+)
+from kgx_spark.operators.merge import merge_edges, merge_nodes
+from kgx_spark.operators.meta_kg import meta_edge_stats, meta_node_stats
+from kgx_spark.operators.sanitize import split_list_column
+from kgx_spark.operators.similarity import quantized_topk
+from kgx_spark.operators.summary import (
+    count_by_category,
+    count_by_id_prefix,
+    count_by_predicate,
+    count_by_spo_category,
+)
+from kgx_spark.operators.textstats import (
+    detect_language,
+    fingerprint,
+    quality_features,
+    regex_token_count,
+    token_count,
+)
+from kgx_spark.operators.validate import validate_nodes
+from kgx_spark.operators.validator import error_report, validate_node_records
+from kgx_spark.pipeline.extract import extract_text
+from kgx_spark.pipeline.kg_pipeline import run_kg_pipeline
+from kgx_spark.pipeline.synth import synth_pages
+from kgx_spark.pipeline.triples import extract_triples
+
+# ---------------------------------------------------------------- helpers
+
+_PART_CAT_SQL = (
+    "CASE WHEN p_size % 3 = 0 THEN 'biolink:Gene' "
+    "WHEN p_size % 3 = 1 THEN 'biolink:Disease' "
+    "ELSE 'biolink:ChemicalEntity' END"
+)
+_SUPP_CAT_SQL = "CASE WHEN s_suppkey % 2 = 0 THEN 'biolink:Gene' ELSE 'biolink:ChemicalEntity' END"
+_PRED_SQL = (
+    "CASE WHEN l_linenumber % 2 = 0 THEN 'biolink:related_to' "
+    "ELSE 'biolink:interacts_with' END"
+)
+_EDGES_SQL = (
+    "SELECT 'P:' || l_partkey AS subject, "
+    f"{_PRED_SQL} AS predicate, "
+    "'S:' || l_suppkey AS object, "
+    "'RO:' || l_linenumber AS relation, "
+    "'infores:' || lower(l_returnflag) AS pb "
+    "FROM lineitem"
+)
+
+
+def _joined(col: str) -> F.Column:
+    return F.array_join(F.col(col), "|").alias(col)
+
+
+def _both_nodes(spark: SparkSession, sf: str) -> DataFrame:
+    return FX.nodes_a(spark, sf).unionByName(FX.supplier_nodes(spark, sf), allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_merge_nodes(spark: SparkSession, sf: str) -> DataFrame:
+    merged = merge_nodes([FX.nodes_a(spark, sf), FX.nodes_b(spark, sf)])
+    return merged.select("id", "name", _joined("category"), _joined("provided_by"), "p1", _joined("xref"))
+
+
+def q_merge_edges(spark: SparkSession, sf: str) -> DataFrame:
+    merged = merge_edges([FX.edges(spark, sf)])
+    return merged.select("subject", "predicate", "object", _joined("provided_by"), "id")
+
+
+def q_validate_nodes(spark: SparkSession, sf: str) -> DataFrame:
+    part = spark.read.parquet(f"{sf}/part.parquet")
+    dirty = part.select(
+        F.when(F.col("p_partkey") % 10 == 0, "").otherwise(F.concat(F.lit("P:"), "p_partkey")).alias("id"),
+        F.when(F.col("p_partkey") % 7 == 0, F.lit(None).cast("array<string>"))
+        .otherwise(F.array(F.lit("biolink:Gene"))).alias("category"),
+    )
+    valid, _ = validate_nodes(dirty)
+    return valid.select("id", _joined("category"))
+
+
+def q_filter_nodes(spark: SparkSession, sf: str) -> DataFrame:
+    return apply_node_filters(FX.nodes_a(spark, sf), {"category": {"biolink:Gene"}}).select("id", "name")
+
+
+def q_filter_edges(spark: SparkSession, sf: str) -> DataFrame:
+    out = apply_edge_filters(
+        FX.edges(spark, sf),
+        {"subject_category": {"biolink:Gene"}, "object_category": {"biolink:ChemicalEntity"}},
+        nodes=_both_nodes(spark, sf),
+    )
+    return out.select("subject", "predicate", "object", "relation")
+
+
+def q_count_by_category(spark: SparkSession, sf: str) -> DataFrame:
+    return count_by_category(_both_nodes(spark, sf))
+
+
+def q_count_by_id_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    return count_by_id_prefix(_both_nodes(spark, sf))
+
+
+def q_count_by_predicate(spark: SparkSession, sf: str) -> DataFrame:
+    return count_by_predicate(FX.edges(spark, sf))
+
+
+def q_spo_category(spark: SparkSession, sf: str) -> DataFrame:
+    return count_by_spo_category(FX.edges(spark, sf), _both_nodes(spark, sf))
+
+
+def q_meta_nodes(spark: SparkSession, sf: str) -> DataFrame:
+    return meta_node_stats(_both_nodes(spark, sf)).select(
+        "category", F.array_join("id_prefixes", "|").alias("id_prefixes"), "count"
+    )
+
+
+def q_meta_edges(spark: SparkSession, sf: str) -> DataFrame:
+    return meta_edge_stats(FX.edges(spark, sf), _both_nodes(spark, sf)).select(
+        "subject_category", "predicate", "object_category",
+        F.array_join("relations", "|").alias("relations"), "count",
+    )
+
+
+def q_validator_report(spark: SparkSession, sf: str) -> DataFrame:
+    part = spark.read.parquet(f"{sf}/part.parquet")
+    dirty = part.select(
+        F.when(F.col("p_partkey") % 10 == 0, F.concat(F.lit("bad id "), "p_partkey"))
+        .otherwise(F.concat(F.lit("P:"), "p_partkey")).alias("id"),
+        F.when(F.col("p_partkey") % 7 == 0, F.array(F.lit("gene")))
+        .when(F.col("p_partkey") % 5 == 0, F.array(F.lit("biolink:Zebra")))
+        .otherwise(F.array(F.lit("biolink:Gene"))).alias("category"),
+    )
+    rep = error_report(validate_node_records(dirty))
+    return rep.select("level", "error_type", "message", "count")
+
+
+def q_degree(spark: SparkSession, sf: str) -> DataFrame:
+    return node_degree(_both_nodes(spark, sf), FX.edges(spark, sf))
+
+
+def q_fold_predicate(spark: SparkSession, sf: str) -> DataFrame:
+    nodes, _ = fold_predicate(
+        FX.nodes_a(spark, sf), FX.edges(spark, sf), "biolink:interacts_with", remove_prefix=True
+    )
+    return nodes.where(F.col("interacts_with").isNotNull()).select("id", "interacts_with")
+
+
+def q_unfold_property(spark: SparkSession, sf: str) -> DataFrame:
+    _, edges = unfold_node_property(
+        FX.nodes_a(spark, sf), FX.edges(spark, sf).limit(0), "p1", prefix="biolink"
+    )
+    return edges.select("subject", "predicate", "object")
+
+
+def q_remove_singletons(spark: SparkSession, sf: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf}/customer.parquet").select(
+        F.concat(F.lit("C:"), "c_custkey").alias("id")
+    )
+    nodes = _both_nodes(spark, sf).select("id").unionByName(cust)
+    return remove_singleton_nodes(nodes, FX.edges(spark, sf))
+
+
+def q_remap_identifier(spark: SparkSession, sf: str) -> DataFrame:
+    _, edges = remap_node_identifier(
+        FX.nodes_a(spark, sf), FX.edges(spark, sf), "biolink:Gene", "xref", prefix="X"
+    )
+    return edges.select("subject", "predicate", "object").distinct()
+
+
+def q_clique_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
+    edges = FX.rotated_edges(spark, sf).unionByName(
+        FX.sameas_edges(spark, sf).withColumn("provided_by", F.lit(None).cast("array<string>"))
+    )
+    node_ids = (
+        edges.select(F.col("subject").alias("id"))
+        .unionByName(edges.select(F.col("object").alias("id")))
+        .distinct()
+        .withColumn("category", F.array(F.lit("biolink:NamedThing")))
+    )
+    _, canon, _ = clique_merge(node_ids, edges, prefix_priority=["P", "Q", "R", "S"])
+    return (
+        canon.where(F.col("predicate") != "biolink:same_as")
+        .select("subject", "predicate", "object")
+        .distinct()
+    )
+
+
+def q_infores(spark: SparkSession, sf: str) -> DataFrame:
+    supp = spark.read.parquet(f"{sf}/supplier.parquet")
+    return supp.select(F.col("s_name").alias("source_name")).distinct().withColumn(
+        "infores", infores_curie(F.col("source_name"))
+    )
+
+
+def q_curie_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    nation = spark.read.parquet(f"{sf}/nation.parquet")
+    iri = F.concat(F.lit("http://identifiers.org/hgnc/"), "n_nationkey")
+    df = nation.select(iri.alias("iri"))
+    return df.select(
+        "iri",
+        contract(F.col("iri")).alias("curie"),
+        expand(contract(F.col("iri"))).alias("roundtrip"),
+    )
+
+
+def q_sanitize_split(spark: SparkSession, sf: str) -> DataFrame:
+    part = spark.read.parquet(f"{sf}/part.parquet")
+    raw = F.concat_ws("|", "p_brand", "p_type", "p_brand")
+    return part.select(
+        F.concat(F.lit("P:"), "p_partkey").alias("id"),
+        F.array_join(split_list_column(raw), "|").alias("vals"),
+    )
+
+
+def q_edge_keys(spark: SparkSession, sf: str) -> DataFrame:
+    e = FX.edges(spark, sf).select("subject", "predicate", "object").distinct()
+    return e.select(
+        "subject", "predicate", "object",
+        edge_key(F.col("subject"), F.col("predicate"), F.col("object")).alias("key"),
+        deterministic_edge_id(F.col("subject"), F.col("predicate"), F.col("object")).alias("id"),
+    )
+
+
+# ----- training-data / document operators -----
+
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return exact_duplicates(_docs(spark, sf))
+
+
+def q_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    return minhash_signatures(_docs(spark, sf), num_hashes=4)
+
+
+def q_lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    return lsh_candidate_pairs(_docs(spark, sf), num_hashes=4, bands=2)
+
+
+def q_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return jaccard_pairs(_docs(spark, sf), threshold=0.8)
+
+
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return simhash(_docs(spark, sf), bits=16)
+
+
+def q_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return quantized_topk(queries, emb, k=5)
+
+
+def q_langid(spark: SparkSession, sf: str) -> DataFrame:
+    return _docs(spark, sf).select("doc_id", detect_language(F.col("text")).alias("lang_pred"))
+
+
+def q_quality(spark: SparkSession, sf: str) -> DataFrame:
+    return quality_features(_docs(spark, sf)).select(
+        "doc_id", "n_tokens", "n_chars_computed", "n_punct",
+        "stopword_ratio_1000", "mean_word_len_1000",
+    )
+
+
+def q_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    return _docs(spark, sf).select(
+        "doc_id",
+        token_count(F.col("text")).cast("bigint").alias("n_ws_tokens"),
+        regex_token_count(F.col("text")).cast("bigint").alias("n_regex_tokens"),
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    return _docs(spark, sf).select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+# ----- web-text pipeline stages -----
+
+
+def q_extract_text(spark: SparkSession, sf: str) -> DataFrame:
+    pages = synth_pages(spark, sf)
+    return extract_text(pages).select("url", "extracted_text")
+
+
+def q_pipeline_triples(spark: SparkSession, sf: str) -> DataFrame:
+    pages = synth_pages(spark, sf)
+    return (
+        extract_triples(extract_text(pages))
+        .select("subject", "predicate", "object")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------- contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full KG-construction pipeline on sf0.001 — pages →
+    extract → triples → canonicalize → merge → KGX edges."""
+    workdir = tempfile.mkdtemp(prefix="kgx_entry_")
+    ctx = run_kg_pipeline(spark, "/root/testdata/sf0.001", workdir, link_entities=False)
+    return ctx["edges"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "merge_nodes": q_merge_nodes,
+        "merge_edges": q_merge_edges,
+        "validate_nodes": q_validate_nodes,
+        "filter_nodes_category": q_filter_nodes,
+        "filter_edges_semijoin": q_filter_edges,
+        "count_by_category": q_count_by_category,
+        "count_by_id_prefix": q_count_by_id_prefix,
+        "count_by_predicate": q_count_by_predicate,
+        "spo_category_counts": q_spo_category,
+        "meta_kg_nodes": q_meta_nodes,
+        "meta_kg_edges": q_meta_edges,
+        "validator_report": q_validator_report,
+        "node_degree": q_degree,
+        "fold_predicate": q_fold_predicate,
+        "unfold_node_property": q_unfold_property,
+        "remove_singletons": q_remove_singletons,
+        "remap_node_identifier": q_remap_identifier,
+        "clique_canonicalize": q_clique_canonicalize,
+        "infores_rewrite": q_infores,
+        "curie_roundtrip": q_curie_roundtrip,
+        "sanitize_split": q_sanitize_split,
+        "edge_keys": q_edge_keys,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash,
+        "lsh_candidates": q_lsh_candidates,
+        "ngram_jaccard": q_jaccard_pairs,
+        "simhash": q_simhash,
+        "ann_topk_cosine": q_topk_cosine,
+        "language_id": q_langid,
+        "quality_score": q_quality,
+        "token_count": q_token_counts,
+        "doc_fingerprint": q_fingerprint,
+        "extract_text": q_extract_text,
+        "pipeline_triples": q_pipeline_triples,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    words_cte = (
+        "WITH words AS (SELECT doc_id, unnest(list_distinct("
+        "string_split_regex(lower(text), '\\s+'))) AS word FROM documents)"
+    )
+    return {
+        "merge_nodes": f"""
+            SELECT 'P:' || p_partkey AS id,
+                   p_name AS name,
+                   {_PART_CAT_SQL} || '|biolink:NamedThing' AS category,
+                   'infores:part|infores:part-b' AS provided_by,
+                   CASE WHEN p_partkey % 2 = 0 THEN 'b|even' ELSE 'b|odd' END AS p1,
+                   'X:' || p_partkey AS xref
+            FROM part
+        """,
+        "merge_edges": f"""
+            SELECT subject, predicate, object,
+                   array_to_string(list_sort(list_distinct(list(pb))), '|') AS provided_by,
+                   sha256(subject || '-' || predicate || '-' || object) AS id
+            FROM ({_EDGES_SQL})
+            GROUP BY subject, predicate, object
+        """,
+        "validate_nodes": """
+            SELECT 'P:' || p_partkey AS id,
+                   CASE WHEN p_partkey % 7 = 0 THEN 'biolink:NamedThing'
+                        ELSE 'biolink:Gene' END AS category
+            FROM part WHERE p_partkey % 10 <> 0
+        """,
+        "filter_nodes_category": """
+            SELECT 'P:' || p_partkey AS id, p_name AS name
+            FROM part WHERE p_size % 3 = 0
+        """,
+        "filter_edges_semijoin": f"""
+            SELECT 'P:' || l_partkey AS subject, {_PRED_SQL} AS predicate,
+                   'S:' || l_suppkey AS object, 'RO:' || l_linenumber AS relation
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_size % 3 = 0
+            JOIN supplier ON l_suppkey = s_suppkey AND s_suppkey % 2 = 1
+        """,
+        "count_by_category": f"""
+            SELECT category, count(*)::BIGINT AS count FROM (
+                SELECT unnest([{_PART_CAT_SQL}, 'biolink:NamedThing']) AS category FROM part
+                UNION ALL
+                SELECT {_SUPP_CAT_SQL} AS category FROM supplier
+            ) GROUP BY category
+        """,
+        "count_by_id_prefix": f"""
+            SELECT category, prefix, count(*)::BIGINT AS count FROM (
+                SELECT unnest([{_PART_CAT_SQL}, 'biolink:NamedThing']) AS category, 'P' AS prefix FROM part
+                UNION ALL
+                SELECT {_SUPP_CAT_SQL} AS category, 'S' AS prefix FROM supplier
+            ) GROUP BY category, prefix
+        """,
+        "count_by_predicate": f"""
+            SELECT predicate, count(*)::BIGINT AS count
+            FROM ({_EDGES_SQL}) GROUP BY predicate
+        """,
+        "spo_category_counts": f"""
+            SELECT subject_category, predicate, object_category, count(*)::BIGINT AS count
+            FROM (
+                SELECT unnest([{_PART_CAT_SQL}, 'biolink:NamedThing']) AS subject_category,
+                       {_PRED_SQL} AS predicate,
+                       {_SUPP_CAT_SQL} AS object_category
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+            ) GROUP BY 1, 2, 3
+        """,
+        "meta_kg_nodes": f"""
+            SELECT category,
+                   array_to_string(list_sort(list_distinct(list(prefix))), '|') AS id_prefixes,
+                   count(*)::BIGINT AS count
+            FROM (
+                SELECT unnest([{_PART_CAT_SQL}, 'biolink:NamedThing']) AS category, 'P' AS prefix FROM part
+                UNION ALL
+                SELECT {_SUPP_CAT_SQL} AS category, 'S' AS prefix FROM supplier
+            ) GROUP BY category
+        """,
+        "meta_kg_edges": f"""
+            SELECT subject_category, predicate, object_category,
+                   array_to_string(list_sort(list_distinct(list(relation))), '|') AS relations,
+                   count(*)::BIGINT AS count
+            FROM (
+                SELECT unnest([{_PART_CAT_SQL}, 'biolink:NamedThing']) AS subject_category,
+                       {_PRED_SQL} AS predicate,
+                       {_SUPP_CAT_SQL} AS object_category,
+                       'RO:' || l_linenumber AS relation
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+            ) GROUP BY 1, 2, 3
+        """,
+        "validator_report": """
+            SELECT * FROM (
+                SELECT 'ERROR' AS level, 'INVALID_NODE_PROPERTY_VALUE' AS error_type,
+                       'Node `id` is not a CURIE' AS message,
+                       (SELECT count(*) FROM part WHERE p_partkey % 10 = 0)::BIGINT AS count
+                UNION ALL
+                SELECT 'ERROR', 'INVALID_CATEGORY',
+                       'Category is not in CamelCase biolink CURIE form',
+                       (SELECT count(*) FROM part WHERE p_partkey % 7 = 0)::BIGINT
+                UNION ALL
+                SELECT 'WARNING', 'UNKNOWN_CATEGORY',
+                       'Category is not a known biolink class',
+                       (SELECT count(*) FROM part
+                        WHERE p_partkey % 7 = 0
+                           OR (p_partkey % 5 = 0 AND p_partkey % 7 <> 0))::BIGINT
+            ) WHERE count > 0
+        """,
+        "node_degree": """
+            WITH outd AS (SELECT 'P:' || l_partkey AS id, count(*)::BIGINT AS o FROM lineitem GROUP BY 1),
+                 ind AS (SELECT 'S:' || l_suppkey AS id, count(*)::BIGINT AS i FROM lineitem GROUP BY 1),
+                 ids AS (SELECT 'P:' || p_partkey AS id FROM part
+                         UNION ALL SELECT 'S:' || s_suppkey FROM supplier)
+            SELECT ids.id AS id,
+                   coalesce(i, 0)::BIGINT AS in_degree,
+                   coalesce(o, 0)::BIGINT AS out_degree,
+                   (coalesce(i, 0) + coalesce(o, 0))::BIGINT AS degree
+            FROM ids LEFT JOIN outd USING (id) LEFT JOIN ind USING (id)
+        """,
+        "fold_predicate": """
+            SELECT 'P:' || l_partkey AS id, min('S:' || l_suppkey) AS interacts_with
+            FROM lineitem WHERE l_linenumber % 2 = 1
+            GROUP BY 1
+        """,
+        "unfold_node_property": """
+            SELECT 'P:' || p_partkey AS subject, 'biolink:p1' AS predicate,
+                   CASE WHEN p_partkey % 2 = 0 THEN 'even' ELSE 'odd' END AS object
+            FROM part
+        """,
+        "remove_singletons": """
+            SELECT DISTINCT 'P:' || l_partkey AS id FROM lineitem
+            UNION SELECT DISTINCT 'S:' || l_suppkey FROM lineitem
+        """,
+        "remap_node_identifier": f"""
+            SELECT DISTINCT
+                   CASE WHEN p_size % 3 = 0 THEN 'X:' || l_partkey
+                        ELSE 'P:' || l_partkey END AS subject,
+                   {_PRED_SQL} AS predicate,
+                   'S:' || l_suppkey AS object
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        """,
+        "clique_canonicalize": """
+            SELECT DISTINCT 'P:' || l_partkey AS subject,
+                   'biolink:related_to' AS predicate,
+                   'S:' || l_suppkey AS object
+            FROM lineitem
+        """,
+        "infores_rewrite": """
+            SELECT source_name,
+                   'infores:' || replace(regexp_replace(regexp_replace(regexp_replace(
+                       lower(trim(source_name)),
+                       '[\\s.]+', '_', 'g'),
+                       '[^a-zA-Z0-9_\\-]', '', 'g'),
+                       '_+', '_', 'g'), '_', '-') AS infores
+            FROM (SELECT DISTINCT s_name AS source_name FROM supplier)
+        """,
+        "curie_roundtrip": """
+            SELECT 'http://identifiers.org/hgnc/' || n_nationkey AS iri,
+                   'HGNC:' || n_nationkey AS curie,
+                   'http://identifiers.org/hgnc/' || n_nationkey AS roundtrip
+            FROM nation
+        """,
+        "sanitize_split": """
+            SELECT 'P:' || p_partkey AS id,
+                   array_to_string(list_sort(list_distinct([p_brand, p_type, p_brand])), '|') AS vals
+            FROM part
+        """,
+        "edge_keys": f"""
+            SELECT subject, predicate, object,
+                   subject || '-' || predicate || '-' || object AS key,
+                   sha256(subject || '-' || predicate || '-' || object) AS id
+            FROM (SELECT DISTINCT subject, predicate, object FROM ({_EDGES_SQL}))
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS content_hash, min(doc_id)::BIGINT AS representative,
+                   count(*)::BIGINT AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "minhash_signatures": f"""
+            {words_cte}
+            SELECT doc_id,
+                   min(md5('0_' || word)) AS h0, min(md5('1_' || word)) AS h1,
+                   min(md5('2_' || word)) AS h2, min(md5('3_' || word)) AS h3
+            FROM words WHERE word <> '' GROUP BY doc_id
+        """,
+        "lsh_candidates": f"""
+            {words_cte},
+            sigs AS (
+                SELECT doc_id,
+                       min(md5('0_' || word)) AS h0, min(md5('1_' || word)) AS h1,
+                       min(md5('2_' || word)) AS h2, min(md5('3_' || word)) AS h3
+                FROM words WHERE word <> '' GROUP BY doc_id
+            ),
+            banded AS (
+                SELECT doc_id, 0 AS band, h0 || '_' || h1 AS key FROM sigs
+                UNION ALL
+                SELECT doc_id, 1 AS band, h2 || '_' || h3 AS key FROM sigs
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+            WHERE a.doc_id < b.doc_id
+        """,
+        "ngram_jaccard": f"""
+            {words_cte},
+            w AS (SELECT doc_id, word FROM words WHERE word <> ''),
+            sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM w GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS i
+                FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   floor(i * 1000.0 / (sa.sz + sb.sz - i))::BIGINT AS jaccard_1000
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE floor(i * 1000.0 / (sa.sz + sb.sz - i)) >= 800
+        """,
+        "simhash": f"""
+            {words_cte}
+            SELECT doc_id, {" || ".join(
+                f"(CASE WHEN sum((ascii(substr(md5(word), {i + 1}, 1)) % 2) * 2 - 1) > 0 "
+                f"THEN '1' ELSE '0' END)" for i in range(16)
+            )} AS simhash
+            FROM words WHERE word <> '' GROUP BY doc_id
+        """,
+        "ann_topk_cosine": """
+            WITH qz AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+                FROM embeddings
+            ),
+            scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       CAST(round(
+                           list_dot_product(q.v, c.v)
+                           / sqrt(CAST(list_dot_product(q.v, q.v) AS DOUBLE)
+                                  * CAST(list_dot_product(c.v, c.v) AS DOUBLE))
+                           * 1000000) AS BIGINT) AS cos_1e6
+                FROM qz q, qz c
+                WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+            )
+            SELECT query_id, neighbor_id, cos_1e6, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cos_1e6 DESC, neighbor_id ASC
+                )::INT AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
+        "language_id": _LANGID_SQL,
+        "quality_score": _QUALITY_SQL,
+        "token_count": f"""
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> ''))::BIGINT AS n_ws_tokens,
+                   len(regexp_extract_all(text, '{_TOKEN_RX_SQL}'))::BIGINT AS n_regex_tokens
+            FROM documents
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(
+                       list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> w <> ''))), ' ')) AS fp
+            FROM documents
+        """,
+        "extract_text": _EXTRACT_SQL,
+        "pipeline_triples": """
+            SELECT DISTINCT 'P:' || l_partkey AS subject,
+                   CASE WHEN l_linenumber % 2 = 0 THEN 'biolink:related_to'
+                        ELSE 'biolink:interacts_with' END AS predicate,
+                   'S:' || l_suppkey AS object
+            FROM lineitem
+            UNION
+            SELECT DISTINCT 'Q:' || l_partkey, 'biolink:same_as', 'P:' || l_partkey
+            FROM lineitem WHERE l_linenumber = 1
+            UNION
+            SELECT DISTINCT 'R:' || l_partkey, 'biolink:same_as', 'Q:' || l_partkey
+            FROM lineitem WHERE l_linenumber = 1
+        """,
+    }
+
+
+# BPE-ish token regex, single-quoted for SQL (kgx_spark/operators/textstats.py)
+_TOKEN_RX_SQL = r"[A-Za-z0-9]+(?:''[a-z]+)?|[^\sA-Za-z0-9]"
+
+_MARKERS_SQL = {
+    "en": "['the','of','and','a','to','in','is']",
+    "de": "['der','die','das','und','nicht','ist','ein']",
+    "fr": "['le','la','les','et','des','est','une']",
+    "es": "['el','los','las','y','que','es','una']",
+}
+
+_LANGID_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> w <> '') AS ws
+        FROM documents
+    ),
+    scores AS (
+        SELECT doc_id, text,
+               len(list_filter(ws, w -> list_contains({_MARKERS_SQL['de']}, w))) AS s_de,
+               len(list_filter(ws, w -> list_contains({_MARKERS_SQL['en']}, w))) AS s_en,
+               len(list_filter(ws, w -> list_contains({_MARKERS_SQL['es']}, w))) AS s_es,
+               len(list_filter(ws, w -> list_contains({_MARKERS_SQL['fr']}, w))) AS s_fr
+        FROM toks
+    )
+    SELECT doc_id,
+           CASE WHEN length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) > 0 THEN 'zh'
+                WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM scores
+"""
+
+_QUALITY_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '') AS ws
+        FROM documents
+    )
+    SELECT doc_id,
+           len(ws)::BIGINT AS n_tokens,
+           length(text)::BIGINT AS n_chars_computed,
+           length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))::BIGINT AS n_punct,
+           CASE WHEN len(ws) > 0 THEN floor(
+               len(list_filter(list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> w <> ''),
+                               w -> list_contains({_MARKERS_SQL['en']}, w))) * 1000.0 / len(ws))::BIGINT
+                ELSE 0 END AS stopword_ratio_1000,
+           CASE WHEN len(ws) > 0 THEN floor(
+               (length(text) - len(ws) + 1) * 1000.0 / len(ws))::BIGINT
+                ELSE 0 END AS mean_word_len_1000
+    FROM toks
+"""
+
+_EXTRACT_SQL = """
+    WITH n AS (SELECT count(*) AS n_docs FROM documents),
+    facts AS (
+        SELECT (l_orderkey % n_docs) AS doc_id,
+               'P:' || l_partkey ||
+               CASE WHEN l_linenumber % 2 = 0 THEN ' is related to ' ELSE ' interacts with ' END ||
+               'S:' || l_suppkey || '.' AS sentence
+        FROM lineitem, n
+        UNION ALL
+        SELECT (l_orderkey % n_docs),
+               'Q:' || l_partkey || ' same as P:' || l_partkey || '. R:' || l_partkey ||
+               ' same as Q:' || l_partkey || '.'
+        FROM lineitem, n WHERE l_linenumber = 1
+        UNION ALL
+        SELECT (p_partkey % n_docs),
+               'the part ' || p_name || ' is mentioned here.'
+        FROM part, n
+    ),
+    fact_text AS (
+        SELECT doc_id, string_agg(sentence, ' ' ORDER BY sentence) AS ft
+        FROM facts GROUP BY doc_id
+    )
+    SELECT 'https://corpus.example.org/page/' || d.doc_id AS url,
+           CASE WHEN ft IS NULL THEN d.text ELSE d.text || ' ' || ft END AS extracted_text
+    FROM documents d LEFT JOIN fact_text USING (doc_id)
+"""

@@ -1,0 +1,111 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "triples_per_sec": ...}
+
+Headline set = the scale-critical paths: the full KG-construction pipeline
+(extract → triples → canonicalize → merge → materialize), the big-shuffle
+operators (edge merge, clique CC, spo stats), and the training-data operators
+(MinHash LSH, quantized ANN top-k).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kgx_spark import fixtures as FX  # noqa: E402
+from kgx_spark.operators.clique import clique_merge  # noqa: E402
+from kgx_spark.operators.dedup import lsh_candidate_pairs  # noqa: E402
+from kgx_spark.operators.merge import merge_edges  # noqa: E402
+from kgx_spark.operators.similarity import quantized_topk  # noqa: E402
+from kgx_spark.operators.summary import count_by_spo_category  # noqa: E402
+from kgx_spark.pipeline.kg_pipeline import run_kg_pipeline  # noqa: E402
+from kgx_spark.session import get_spark  # noqa: E402
+
+
+def _noop(df) -> int:
+    """Force full evaluation without driver-side collection."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("kgx_bench", master=f"local[{cpus}]", shuffle_partitions=max(8, cpus))
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    # 1. end-to-end KG-construction pipeline (the north-rule metric)
+    workdir = tempfile.mkdtemp(prefix="kgx_bench_")
+    try:
+        ctx = timed("pipeline_e2e", lambda: run_kg_pipeline(spark, sf_dir, workdir, link_entities=False, force=True))
+        n_triples = ctx["edges"].count()
+        extras["triples"] = n_triples
+        extras["triples_per_sec"] = round(n_triples / timings["pipeline_e2e"], 1)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    # 2. big-shuffle operators
+    timed("merge_edges", lambda: _noop(merge_edges([FX.edges(spark, sf_dir)])))
+
+    def _clique():
+        edges = FX.rotated_edges(spark, sf_dir).unionByName(
+            FX.sameas_edges(spark, sf_dir).withColumn("provided_by", F.lit(None).cast("array<string>"))
+        )
+        node_ids = (
+            edges.select(F.col("subject").alias("id"))
+            .unionByName(edges.select(F.col("object").alias("id")))
+            .distinct()
+            .withColumn("category", F.array(F.lit("biolink:NamedThing")))
+        )
+        _, canon, _ = clique_merge(node_ids, edges, prefix_priority=["P", "Q", "R", "S"])
+        return _noop(canon)
+
+    timed("clique_canonicalize", _clique)
+
+    def _spo():
+        nodes = FX.nodes_a(spark, sf_dir).unionByName(FX.supplier_nodes(spark, sf_dir), allowMissingColumns=True)
+        return _noop(count_by_spo_category(FX.edges(spark, sf_dir), nodes))
+
+    timed("spo_category_counts", _spo)
+
+    # 3. training-data operators
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timed("minhash_lsh", lambda: _noop(lsh_candidate_pairs(docs, num_hashes=8, bands=4)))
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    timed("ann_topk", lambda: _noop(quantized_topk(queries, emb, k=5)))
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        **extras,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,211 @@
+"""Canonicalization: clique merge over `same_as` equivalence evidence.
+
+Reference: kgx/graph_operations/clique_merge.py:28-783
+1. build_cliques from `same_as` node props + `biolink:same_as` edges
+   (bidirectional) — 88-134
+2. components via nx.strongly_connected_components (in-memory) — 169, 275
+3. get_clique_category / category validation — 388-499
+4. elect_leader: leader_annotation (662-713) → prefix-priority (716-751) →
+   alphabetical prefix sort (754-783)
+5. consolidate_edges: re-point member edges to leader, stamp
+   `_original_subject`/`_original_object`, drop self-loop subclass_of,
+   record members in leader's `same_as`, delete members — 252-385
+
+Spark design (north rule: "hash-min connected-components clustering"):
+the in-memory component step becomes ITERATIVE HASH-MIN LABEL PROPAGATION —
+each iteration is one groupBy(min) + one join, labels localCheckpoint'ed to
+truncate lineage. Converges in O(log(max component diameter)) rounds with
+large-star-ish min propagation. Leader election is a single row_number window
+per component; edge re-pointing is two joins against the member→leader map
+(broadcast when the clique population is small relative to edges — typical:
+equivalence cliques are ~2-5 ids).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from kgx_spark.functions.keys import deterministic_edge_id
+
+SAME_AS = "biolink:same_as"
+
+
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 50, checkpoint_every: int = 1
+) -> tuple[DataFrame, int]:
+    """pairs(src, dst) → (id, component) where component = min id (lexicographic).
+
+    Hash-min label propagation (SURVEY.md §4 'Connected components'):
+    every vertex starts labeled with itself; each round every vertex takes the
+    min label over itself + neighbors; fixpoint when no label changes.
+
+    Scale notes:
+    - edges are symmetrized once and cached; each round shuffles
+      (vertex → min-neighbor-label), a map-side-combinable aggregation;
+    - labels are localCheckpoint'ed per round to truncate lineage (50 rounds
+      of joins would otherwise blow up the plan);
+    - hub vertices (giant cliques) are handled by AQE skew splitting; the
+      min-aggregation itself is associative so partial aggs absorb skew.
+    """
+    sym = (
+        pairs.selectExpr("src", "dst")
+        .unionByName(pairs.selectExpr("dst as src", "src as dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    iterations = 0
+    for i in range(max_iterations):
+        iterations = i + 1
+        neighbor_min = (
+            sym.join(labels.withColumnRenamed("id", "src"), on="src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, on="id", how="left")
+            .select("id", F.least("component", "nbr_min").alias("component"),
+                    (F.col("nbr_min") < F.col("component")).alias("_changed"))
+        )
+        changed = new_labels.where(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
+        if i % checkpoint_every == 0:
+            labels = labels.localCheckpoint()
+        if changed == 0:
+            break
+    return labels, iterations
+
+
+def build_same_as_pairs(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Equivalence pairs from `same_as` node property + `biolink:same_as`
+    edges, treated bidirectionally (clique_merge.py:88-134)."""
+    parts = []
+    if "same_as" in nodes.columns:
+        parts.append(
+            nodes.where(F.col("same_as").isNotNull())
+            .select(F.col("id").alias("src"), F.explode("same_as").alias("dst"))
+        )
+    parts.append(
+        edges.where(F.col("predicate") == SAME_AS).select(
+            F.col("subject").alias("src"), F.col("object").alias("dst")
+        )
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+
+
+def elect_leaders(
+    members: DataFrame,
+    nodes: DataFrame,
+    prefix_priority: list[str] | None = None,
+    leader_annotation: str | None = None,
+) -> DataFrame:
+    """members(id, component) → (id, component, leader) per clique.
+
+    Priority (clique_merge.py:662-783): annotated leader → prefix-priority
+    rank → alphabetical (prefix, id). One window per component — cliques are
+    tiny, so the window partitions are balanced.
+    """
+    ranked = members
+    if leader_annotation and leader_annotation in nodes.columns:
+        ann = nodes.select("id", F.coalesce(F.col(leader_annotation).cast("boolean"), F.lit(False)).alias("_ann"))
+        ranked = ranked.join(ann, "id", "left").withColumn("_ann", F.coalesce("_ann", F.lit(False)))
+    else:
+        ranked = ranked.withColumn("_ann", F.lit(False))
+
+    prefix = F.split_part("id", F.lit(":"), F.lit(1))
+    if prefix_priority:
+        rank_expr = None
+        for i, p in enumerate(prefix_priority):
+            rank_expr = F.when(prefix == p, i) if rank_expr is None else rank_expr.when(prefix == p, i)
+        rank_expr = rank_expr.otherwise(len(prefix_priority))
+    else:
+        rank_expr = F.lit(0)
+    ranked = ranked.withColumn("_rank", rank_expr).withColumn("_prefix", prefix)
+
+    w = Window.partitionBy("component").orderBy(
+        F.col("_ann").desc(), F.col("_rank").asc(), F.col("_prefix").asc(), F.col("id").asc()
+    )
+    leaders = (
+        ranked.withColumn("_rn", F.row_number().over(w))
+        .withColumn("leader", F.first("id").over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .drop("_ann", "_rank", "_prefix", "_rn")
+    )
+    return leaders
+
+
+def clique_merge(
+    nodes: DataFrame,
+    edges: DataFrame,
+    prefix_priority: list[str] | None = None,
+    leader_annotation: str | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """→ (canonical nodes, re-pointed edges, member→leader mapping).
+
+    Mirrors clique_merge.py:28-86 orchestration:
+    pairs → components → leader election → edge re-pointing
+    (with `_original_subject`/`_original_object` stamps — 303-347) →
+    member nodes folded into the leader (same_as union — 349-385) →
+    self-loop subclass_of edges dropped (365-371).
+    """
+    pairs = build_same_as_pairs(nodes, edges)
+    labels, _ = connected_components(pairs)
+    leader_map = elect_leaders(labels, nodes, prefix_priority, leader_annotation)
+    mapping = leader_map.select("id", "leader").where(F.col("id") != F.col("leader"))
+
+    # --- re-point edges (two joins; mapping is clique-sized → broadcast) ---
+    b = F.broadcast(mapping)
+    e = (
+        edges.join(b.withColumnRenamed("id", "subject").withColumnRenamed("leader", "_subj_leader"),
+                   on="subject", how="left")
+        .join(b.withColumnRenamed("id", "object").withColumnRenamed("leader", "_obj_leader"),
+              on="object", how="left")
+        .withColumn("_original_subject", F.when(F.col("_subj_leader").isNotNull(), F.col("subject")))
+        .withColumn("_original_object", F.when(F.col("_obj_leader").isNotNull(), F.col("object")))
+        .withColumn("subject", F.coalesce("_subj_leader", "subject"))
+        .withColumn("object", F.coalesce("_obj_leader", "object"))
+        .drop("_subj_leader", "_obj_leader")
+    )
+    # drop same_as edges inside a clique and self-loop subclass_of (365-371)
+    e = e.where(
+        ~((F.col("subject") == F.col("object"))
+          & F.col("predicate").isin(SAME_AS, "biolink:subclass_of"))
+    )
+    if "id" in e.columns:
+        e = e.withColumn(
+            "id",
+            F.when(
+                F.col("_original_subject").isNotNull() | F.col("_original_object").isNotNull(),
+                deterministic_edge_id(F.col("subject"), F.col("predicate"), F.col("object")),
+            ).otherwise(F.col("id")),
+        )
+
+    # --- fold members into leaders (clique_merge.py:349-385) ---
+    members_per_leader = (
+        leader_map.groupBy("leader")
+        .agg(F.array_sort(F.collect_set(F.when(F.col("id") != F.col("leader"), F.col("id")))).alias("_members"))
+        .withColumnRenamed("leader", "id")
+    )
+    n = nodes.join(b, on="id", how="left_anti")  # drop non-leader members
+    n = n.join(F.broadcast(members_per_leader), on="id", how="left")
+    if "same_as" in n.columns:
+        n = n.withColumn(
+            "same_as",
+            F.array_sort(F.array_distinct(F.concat(
+                F.coalesce(F.col("same_as"), F.array()),
+                F.coalesce(F.col("_members"), F.array()),
+            ))),
+        ).drop("_members")
+    else:
+        n = n.withColumnRenamed("_members", "same_as")
+    return n, e, mapping

@@ -1,0 +1,149 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Training-data-pipeline operators over a `documents(doc_id, text, ...)` table.
+Everything is expressed as exploded-join + groupBy plans (shuffle on content
+keys — hash/band/word — which are high-cardinality and therefore skew-free by
+construction); no UDFs.
+
+Scale notes (100 TB):
+- exact dedup shuffles (hash → docs) once; the hash is md5 so partial
+  aggregation collapses duplicates map-side;
+- MinHash/LSH: per-doc signatures are one explode + groupBy(doc); band
+  bucketing shuffles only (band_key, doc_id) pairs — tiny vs raw text;
+  candidate verification joins only within buckets (the whole point of LSH);
+- pairwise n-gram Jaccard is quadratic and only for candidate sets or small
+  corpora — the LSH path is the scale path, Jaccard verifies candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kgx_spark.operators.textstats import tokens
+
+
+def word_set(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, word) distinct — the 1-gram shingle set."""
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("word")
+    )
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup by content hash → (content_hash, representative min id, n_docs).
+
+    One groupBy(md5) — map-side combinable; representative choice (min id) is
+    deterministic.
+    """
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("representative"), F.count("*").alias("n_docs"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", num_hashes: int = 8
+) -> DataFrame:
+    """Per-doc MinHash signature: h_i = min over shingles of md5(i || '_' || w).
+
+    md5-of-seeded-string is a cheap deterministic permutation surrogate whose
+    lexicographic min is a valid min-hash; identical in any engine.
+    → (id, h0..h{n-1})
+    """
+    ws = word_set(df, id_col, text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}_"), F.col("word")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return ws.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidates: band signatures → bucket join →
+    distinct (a < b) pairs. The shuffle unit is (band_key, id) — constant-size
+    per doc regardless of document length."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("_", *cols).alias("key"))
+        )
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.withColumnRenamed(id_col, "doc_a")
+    b = banded.withColumnRenamed(id_col, "doc_b")
+    return (
+        a.join(b, on=["band", "key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """n-gram (word-set) Jaccard similarity pairs ≥ threshold.
+
+    Without ``candidates`` this is the exact quadratic path (inverted-index
+    self-join on shared words — still far better than a cross join because
+    pairs sharing zero words never materialize). With ``candidates`` (e.g.
+    from LSH) only candidate pairs are verified. Jaccard is returned ×1000 as
+    bigint for cross-engine exactness.
+    """
+    ws = word_set(df, id_col, text_col)
+    sizes = ws.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = ws.withColumnRenamed(id_col, "doc_a")
+    b = ws.withColumnRenamed(id_col, "doc_b")
+    inter = (
+        a.join(b, on="word")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, on=["doc_a", "doc_b"], how="left_semi")
+    out = (
+        inter.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sz", "sz_a"), on="doc_a")
+        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sz", "sz_b"), on="doc_b")
+        .withColumn(
+            "jaccard_1000",
+            F.floor(F.col("inter") * 1000 / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).cast("bigint"),
+        )
+        .where(F.col("jaccard_1000") >= int(threshold * 1000))
+        .select("doc_a", "doc_b", "jaccard_1000")
+    )
+    return out
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
+    """SimHash fingerprint as a bit string.
+
+    bit_i(word) = parity of the i-th hex char of md5(word); document bit i is
+    the majority vote over its distinct words. Pure integer arithmetic —
+    engine-portable and deterministic. → (id, simhash string of {bits} 0/1).
+    """
+    ws = word_set(df, id_col, text_col)
+    h = F.md5(F.col("word"))
+    votes = [
+        F.sum(((F.ascii(F.substring(h, i + 1, 1)) % 2) * 2 - 1)).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = ws.groupBy(id_col).agg(*votes)
+    bit_exprs = [F.when(F.col(f"v{i}") > 0, "1").otherwise("0") for i in range(bits)]
+    return agg.select(F.col(id_col), F.concat(*bit_exprs).alias("simhash"))

@@ -1,0 +1,72 @@
+"""TRAPI meta-knowledge-graph aggregation ('kgx meta-knowledge-graph').
+
+Reference: kgx/graph_operations/meta_knowledge_graph.py:51-1008
+- per-category: id_prefixes (set), count, count_by_source (400-445)
+- per-(subject_category, predicate, object_category): relations (set),
+  count, count_by_source (508-600)
+- strict CURIE shape checks: category '^biolink:[A-Z][a-zA-Z]*$',
+  predicate '^biolink:[a-z][a-z_]*$' (51-60); invalid records excluded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgx_spark.operators.summary import node_category_catalog
+
+CATEGORY_REGEX = r"^biolink:[A-Z][a-zA-Z]*$"  # meta_knowledge_graph.py:55
+PREDICATE_REGEX = r"^biolink:[a-z][a-z_]*$"  # meta_knowledge_graph.py:58
+
+
+def meta_node_stats(nodes: DataFrame) -> DataFrame:
+    """category → (id_prefixes sorted set, count) with invalid categories
+    filtered out (meta_knowledge_graph.py:400-445)."""
+    exploded = nodes.select(
+        F.split_part("id", F.lit(":"), F.lit(1)).alias("prefix"),
+        F.explode("category").alias("category"),
+    ).where(F.col("category").rlike(CATEGORY_REGEX))
+    return exploded.groupBy("category").agg(
+        F.array_sort(F.collect_set("prefix")).alias("id_prefixes"),
+        F.count("*").alias("count"),
+    )
+
+
+def meta_edge_stats(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """(subject_category, predicate, object_category) → (relations set, count)
+    (meta_knowledge_graph.py:508-600). Invalid predicates excluded."""
+    cats = node_category_catalog(nodes).where(F.col("category").rlike(CATEGORY_REGEX))
+    subj = cats.withColumnRenamed("id", "subject").withColumnRenamed("category", "subject_category")
+    obj = cats.withColumnRenamed("id", "object").withColumnRenamed("category", "object_category")
+    sel = ["subject", "predicate", "object"]
+    has_rel = "relation" in edges.columns
+    if has_rel:
+        sel.append("relation")
+    valid = edges.select(*sel).where(F.col("predicate").rlike(PREDICATE_REGEX))
+    joined = valid.join(F.broadcast(subj), "subject").join(F.broadcast(obj), "object")
+    aggs = [F.count("*").alias("count")]
+    if has_rel:
+        aggs.insert(0, F.array_sort(F.collect_set("relation")).alias("relations"))
+    return joined.groupBy("subject_category", "predicate", "object_category").agg(*aggs)
+
+
+def meta_knowledge_graph(nodes: DataFrame, edges: DataFrame) -> dict:
+    """Driver-side TRAPI-shaped dict (meta_knowledge_graph.py:602-700 save)."""
+    node_rows = meta_node_stats(nodes).collect()
+    edge_rows = meta_edge_stats(edges, nodes).collect()
+    return {
+        "nodes": {
+            r["category"]: {"id_prefixes": list(r["id_prefixes"]), "count": r["count"]}
+            for r in node_rows
+        },
+        "edges": [
+            {
+                "subject": r["subject_category"],
+                "predicate": r["predicate"],
+                "object": r["object_category"],
+                "relations": list(r["relations"]) if "relations" in r.asDict() else [],
+                "count": r["count"],
+            }
+            for r in edge_rows
+        ],
+    }

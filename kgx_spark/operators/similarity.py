@@ -1,0 +1,231 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k — the correctness baseline. The dot
+  product is a JVM-side F.aggregate fold over zip_with (no Python); the join
+  is a cross join, so this path is for candidate verification / small query
+  sets.
+- lsh_topk: random-hyperplane LSH bucketing — the scale path. Vectors shuffle
+  as (bucket, id, vec); only same-bucket pairs are scored. Hyperplanes are
+  deterministic (seeded md5 of (plane, dim) → ±1 components), so results are
+  reproducible and engine-portable.
+- ivf_topk: IVF-style coarse quantization — k-means-free variant that assigns
+  each vector to its nearest of K deterministic anchor vectors (drawn from the
+  dataset by id order), then searches only the probe's anchor cell(s).
+
+Scores are returned ×1e6 as bigint (cross-engine float exactness).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_1e6(a: Column, b: Column) -> Column:
+    """round(cosine × 1e6) as bigint — deterministic ordered fold."""
+    return F.round(_dot(a, b) / (_norm(a) * _norm(b)) * 1e6, 0).cast("bigint")
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cos_1e6, rank).
+
+    Self-matches excluded. Ties broken by neighbor id — fully deterministic.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        q.crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_1e6(F.col("_qv"), F.col("_cv")).alias("cos_1e6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_1e6").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_1e6", "rank")
+    )
+
+
+def quantize(vec: Column, scale: int = 1000) -> Column:
+    """array<float> → array<bigint> (round(x·scale)).
+
+    Integer quantization makes dot products and norms EXACT (order-independent
+    integer sums), so cosine scores are bit-identical across engines and
+    partitionings — the property the oracle comparison and deterministic
+    ranking rely on. At scale=1000 the quantization error on unit-ish vectors
+    is ≤0.1%, irrelevant for neighbor ranking.
+    """
+    return F.transform(vec, lambda x: F.round(x.cast("double") * scale, 0).cast("bigint"))
+
+
+def quantized_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k over integer-quantized vectors:
+    (query_id, neighbor_id, cos_1e6, rank) — fully deterministic."""
+    q = queries.select(F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("_qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("_cv"))
+    dot = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col("_cv"), lambda x, y: x * y), F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    sq = lambda col: F.aggregate(  # noqa: E731
+        F.transform(col, lambda x: x * x), F.lit(0).cast("bigint"), lambda acc, v: acc + v
+    )
+    scored = (
+        q.crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot / F.sqrt(sq(F.col("_qv")).cast("double") * sq(F.col("_cv")).cast("double")) * 1e6, 0)
+            .cast("bigint")
+            .alias("cos_1e6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_1e6").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_1e6", "rank")
+    )
+
+
+def _hyperplane(plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random ±1 hyperplane from md5 parity (no RNG)."""
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"{plane}_{d}".encode()).hexdigest()[0], 16) % 2 == 0 else -1.0
+        for d in range(dim)
+    ]
+
+
+def lsh_bucket(vec: Column, dim: int, planes: int = 8, plane_offset: int = 0) -> Column:
+    """Random-hyperplane signature: one sign bit per plane → bit-string bucket."""
+    bits = []
+    for p in range(plane_offset, plane_offset + planes):
+        hp = F.array(*[F.lit(v) for v in _hyperplane(p, dim)])
+        bits.append(F.when(_dot(vec, hp) >= 0, "1").otherwise("0"))
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    planes: int = 8,
+    tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only pairs sharing a bucket in ANY table.
+
+    Standard AND-OR amplification: each table ANDs ``planes`` sign bits
+    (collision prob cos-angle^planes); ``tables`` independent tables OR
+    together (recall 1-(1-p)^L). Each vector emits ``tables`` (table, bucket)
+    rows — the shuffle unit stays constant-size per vector.
+    """
+
+    def bucketed(df: DataFrame, idc: str, vc: str) -> DataFrame:
+        buckets = F.array(*[
+            F.struct(
+                F.lit(t).alias("table"),
+                lsh_bucket(F.col(vc), dim, planes, plane_offset=t * planes).alias("bucket"),
+            )
+            for t in range(tables)
+        ])
+        return df.select(F.col(idc), F.col(vc), F.explode(buckets).alias("tb")).select(
+            idc, vc, F.col("tb.table").alias("_table"), F.col("tb.bucket").alias("_bucket")
+        )
+
+    q = bucketed(queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")), "query_id", "_qv")
+    c = bucketed(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")), "neighbor_id", "_cv")
+    scored = (
+        q.join(c, on=["_table", "_bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.col("_qv").alias("_q"), F.col("_cv").alias("_c"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id", cosine_1e6(F.col("_q"), F.col("_c")).alias("cos_1e6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_1e6").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_1e6", "rank")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: anchors = the n_cells lowest-id corpus vectors
+    (deterministic, no k-means iterations); every vector/query is assigned to
+    its nearest anchor; search runs within the cell.
+
+    At scale the anchor table is broadcast (n_cells × dim floats) and the
+    corpus shuffles ONCE on cell id; queries probe a single cell.
+    """
+    anchors = (
+        corpus.orderBy(id_col).limit(n_cells)
+        .select(F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("_av"))
+    )
+
+    def assign(df: DataFrame, idc: str, vc: str) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(anchors)).select(
+            F.col(idc), F.col(vc),
+            F.col("anchor_id"), cosine_1e6(F.col(vc), F.col("_av")).alias("_acos"),
+        )
+        w = Window.partitionBy(idc).orderBy(F.col("_acos").desc(), F.col("anchor_id").asc())
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(F.col(idc), F.col(vc), F.col("anchor_id").alias("_cell"))
+        )
+
+    q = assign(queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")), "query_id", "_qv")
+    c = assign(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")), "neighbor_id", "_cv")
+    scored = (
+        q.join(c, on="_cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine_1e6(F.col("_qv"), F.col("_cv")).alias("cos_1e6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_1e6").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_1e6", "rank")
+    )

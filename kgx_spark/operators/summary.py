@@ -1,0 +1,122 @@
+"""Graph summary statistics ('kgx graph-summary').
+
+Reference: kgx/graph_operations/summarize_graph.py:66-837
+- node stats: total, count by category, id-prefix counts by category
+  (426-465, 618-688)
+- edge stats: total, count by predicate, count by
+  (subject_category, predicate, object_category) triple (517-577)
+- facet counts (e.g. by provided_by): 767-814
+- duplicate-node / dangling-edge detection: 700-760
+
+The reference is a streaming inspector fed one record at a time; here each
+stat is ONE groupBy over the cached nodes/edges DataFrames. The s-p-o-category
+stat needs the edge⋈node category lookup twice — the category catalog
+(id → categories) is tiny relative to edges, so it broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def count_by_category(nodes: DataFrame) -> DataFrame:
+    """category → node count (multivalued: a node counts under each category,
+    summarize_graph.py:426-448)."""
+    return (
+        nodes.select(F.explode("category").alias("category"))
+        .groupBy("category")
+        .agg(F.count("*").alias("count"))
+    )
+
+
+def count_by_id_prefix(nodes: DataFrame) -> DataFrame:
+    """(category, id prefix) → count (summarize_graph.py:449-465)."""
+    return (
+        nodes.select(F.split_part("id", F.lit(":"), F.lit(1)).alias("prefix"), F.explode("category").alias("category"))
+        .groupBy("category", "prefix")
+        .agg(F.count("*").alias("count"))
+    )
+
+
+def count_by_predicate(edges: DataFrame) -> DataFrame:
+    """predicate → edge count (summarize_graph.py:517-530)."""
+    return edges.groupBy("predicate").agg(F.count("*").alias("count"))
+
+
+def node_category_catalog(nodes: DataFrame) -> DataFrame:
+    """id → exploded category rows, the join side for spo stats."""
+    return nodes.select("id", F.explode("category").alias("category"))
+
+
+def count_by_spo_category(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """(subject_category, predicate, object_category) → count
+    (summarize_graph.py:542-577: the category Cartesian product over
+    multivalued categories is reproduced by the double explode-join).
+
+    Scale note: aggregate edges down to (subject, predicate, object-distinct
+    pairs)? No — the reference counts every edge once per category pair, so we
+    join then group. The category catalog broadcasts; the only shuffle is the
+    final groupBy on three low-cardinality columns (map-side combine shrinks
+    it to ~|categories|² × |predicates| rows).
+    """
+    cats = node_category_catalog(nodes)
+    subj = cats.withColumnRenamed("id", "subject").withColumnRenamed("category", "subject_category")
+    obj = cats.withColumnRenamed("id", "object").withColumnRenamed("category", "object_category")
+    return (
+        edges.select("subject", "predicate", "object")
+        .join(F.broadcast(subj), "subject")
+        .join(F.broadcast(obj), "object")
+        .groupBy("subject_category", "predicate", "object_category")
+        .agg(F.count("*").alias("count"))
+    )
+
+
+def facet_counts(df: DataFrame, group_col: str, facet: str = "provided_by") -> DataFrame:
+    """Counts by (group, facet value) — facet properties are multivalued
+    (summarize_graph.py:767-814)."""
+    facet_col = F.explode(facet) if dict(df.dtypes).get(facet, "").startswith("array") else F.col(facet)
+    base = df.select(
+        (F.explode(group_col) if dict(df.dtypes).get(group_col, "").startswith("array") else F.col(group_col)).alias(group_col + "_v"),
+        facet_col.alias(facet),
+    )
+    return base.groupBy(F.col(group_col + "_v").alias(group_col), facet).agg(F.count("*").alias("count"))
+
+
+def duplicate_nodes(nodes: DataFrame) -> DataFrame:
+    """ids appearing more than once (summarize_graph.py:700-729)."""
+    return nodes.groupBy("id").agg(F.count("*").alias("count")).where(F.col("count") > 1)
+
+
+def dangling_edges(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Edges with an endpoint missing from the node catalog
+    (summarize_graph.py:731-760) — two left-anti-joined sides unioned."""
+    ids = nodes.select("id").distinct()
+    no_subj = edges.join(ids, edges["subject"] == ids["id"], "left_anti")
+    no_obj = edges.join(ids, edges["object"] == ids["id"], "left_anti")
+    return no_subj.unionByName(no_obj).distinct()
+
+
+def summarize_graph(nodes: DataFrame, edges: DataFrame) -> dict:
+    """Driver-side roll-up mirroring GraphSummary.save's YAML shape
+    (summarize_graph.py:816-837). Small results only — each entry is an
+    aggregate, not row data."""
+    return {
+        "graph_name": None,
+        "node_stats": {
+            "total_nodes": nodes.count(),
+            "count_by_category": {
+                r["category"]: r["count"] for r in count_by_category(nodes).collect()
+            },
+        },
+        "edge_stats": {
+            "total_edges": edges.count(),
+            "count_by_predicates": {
+                r["predicate"]: r["count"] for r in count_by_predicate(edges).collect()
+            },
+            "count_by_spo": {
+                f'{r["subject_category"]}-{r["predicate"]}-{r["object_category"]}': r["count"]
+                for r in count_by_spo_category(edges, nodes).collect()
+            },
+        },
+    }

@@ -1,0 +1,114 @@
+"""The end-to-end KG-construction pipeline (north rule, BASELINE.json).
+
+pages → extract_text → extract_triples + link_mentions → canonicalize
+(hash-min CC over same_as) → merge/dedup (provenance union) → materialize
+KGX-shaped nodes/edges into salted, skew-aware partitions.
+
+Each stage is a Stage (stages.py) so a killed run resumes from the last
+committed snapshot; `run_kg_pipeline` is the one-call entry used by
+__spark_entry__.entry, bench.py, and spark-submit (see scripts/run_pipeline.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgx_spark.functions.keys import generate_edge_identifiers
+from kgx_spark.operators.clique import clique_merge
+from kgx_spark.operators.merge import merge_edges, merge_nodes
+from kgx_spark.operators.validate import validate_edges, validate_nodes
+from kgx_spark.pipeline.extract import extract_text
+from kgx_spark.pipeline.link import detect_mentions, link_mentions, linked_mention_edges
+from kgx_spark.pipeline.stages import Stage, run_stages, salted_repartition
+from kgx_spark.pipeline.synth import synth_alias_dict, synth_pages
+from kgx_spark.pipeline.triples import extract_triples
+
+# canonical prefix priority for leader election (P wins over Q over R, the
+# synthetic equivalence universe; real deployments pass biolink's
+# prefix-priority map — clique_merge.py:716-751)
+PREFIX_PRIORITY = ["P", "Q", "R", "S"]
+
+
+def build_stages(
+    sf_dir: str,
+    pages_df: DataFrame | None = None,
+    link_entities: bool = True,
+    out_partitions: int = 32,
+) -> list[Stage]:
+    def s_pages(spark: SparkSession, ctx: dict) -> DataFrame:
+        return pages_df if pages_df is not None else synth_pages(spark, sf_dir)
+
+    def s_extract(spark: SparkSession, ctx: dict) -> DataFrame:
+        return extract_text(ctx["pages"]).select("url", "warc_ts", "extracted_text", "lang")
+
+    def s_triples(spark: SparkSession, ctx: dict) -> DataFrame:
+        return extract_triples(ctx["extract"])
+
+    def s_linked(spark: SparkSession, ctx: dict) -> DataFrame:
+        alias_dict = synth_alias_dict(spark, sf_dir)
+        mentions = detect_mentions(ctx["extract"])
+        return link_mentions(mentions, alias_dict)
+
+    def s_edges_raw(spark: SparkSession, ctx: dict) -> DataFrame:
+        triples = ctx["triples"]
+        if link_entities and "linked" in ctx:
+            mention_edges = linked_mention_edges(ctx["linked"])
+            triples = triples.unionByName(mention_edges)
+        valid, _ = validate_edges(triples)
+        return valid
+
+    def s_canonical(spark: SparkSession, ctx: dict) -> DataFrame:
+        edges = ctx["edges_raw"]
+        node_ids = (
+            edges.select(F.col("subject").alias("id"))
+            .unionByName(edges.select(F.col("object").alias("id")))
+            .distinct()
+            .withColumn("category", F.array(F.lit("biolink:NamedThing")))
+        )
+        _, canon_edges, _ = clique_merge(node_ids, edges, prefix_priority=PREFIX_PRIORITY)
+        return canon_edges
+
+    def s_edges(spark: SparkSession, ctx: dict) -> DataFrame:
+        merged = merge_edges([ctx["canonical"].drop("_original_subject", "_original_object")])
+        merged = generate_edge_identifiers(merged)
+        return salted_repartition(merged, "subject", out_partitions)
+
+    def s_nodes(spark: SparkSession, ctx: dict) -> DataFrame:
+        edges = ctx["edges"]
+        ids = (
+            edges.select(F.col("subject").alias("id"), F.col("provided_by"))
+            .unionByName(edges.select(F.col("object").alias("id"), F.col("provided_by")))
+        )
+        nodes = ids.withColumn("category", F.array(F.lit("biolink:NamedThing")))
+        merged = merge_nodes([nodes])
+        valid, _ = validate_nodes(merged)
+        return salted_repartition(valid, "id", out_partitions)
+
+    stages = [
+        Stage("pages", s_pages),
+        Stage("extract", s_extract),
+        Stage("triples", s_triples),
+    ]
+    if link_entities:
+        stages.append(Stage("linked", s_linked))
+    stages += [
+        Stage("edges_raw", s_edges_raw),
+        Stage("canonical", s_canonical),
+        Stage("edges", s_edges),
+        Stage("nodes", s_nodes),
+    ]
+    return stages
+
+
+def run_kg_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    workdir: str,
+    pages_df: DataFrame | None = None,
+    link_entities: bool = True,
+    force: bool = False,
+) -> dict[str, DataFrame]:
+    """Run (or resume) the full pipeline; returns all stage outputs."""
+    stages = build_stages(sf_dir, pages_df=pages_df, link_entities=link_entities)
+    return run_stages(spark, workdir, stages, force=force)

@@ -1,0 +1,95 @@
+"""Entity linking: mention detection + broadcast alias-dictionary resolution.
+
+North-rule stage 3: "entity linking via a broadcast alias/CURIE dictionary
+with TF-IDF candidate scoring".
+
+Reference analogue: curie_lookup (kgx/utils/graph_utils.py:129-157) resolves
+names → CURIEs via a preloaded in-memory map; here the dictionary is a
+DataFrame broadcast into a hash join, and ambiguous aliases are resolved by a
+TF-IDF-weighted prior with a deterministic argmax window.
+
+Scale: mentions explode pages into n-grams — the expensive part — but each
+n-gram row is tiny and the alias join is broadcast (dictionary ≪ corpus).
+The idf table is one small groupBy over mentions, also broadcast back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from kgx_spark.operators.textstats import tokens
+
+
+def detect_mentions(
+    pages: DataFrame, max_ngram: int = 3, text_col: str = "extracted_text"
+) -> DataFrame:
+    """(url, mention, pos) candidate surface forms: all 1..max_ngram word
+    n-grams, lowercased. Batched: posexplode + JVM slice/join per n —
+    no per-row Python."""
+    toks = pages.select(
+        "url", F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "w")
+    )
+    # n-grams via self-free window concat: collect forward words with lead()
+    w = Window.partitionBy("url").orderBy("pos")
+    cols = {"w0": F.col("w")}
+    for i in range(1, max_ngram):
+        cols[f"w{i}"] = F.lead("w", i).over(w)
+    g = toks.withColumns(cols)
+    grams = []
+    for n in range(1, max_ngram + 1):
+        parts = [F.col(f"w{i}") for i in range(n)]
+        cond = parts[-1].isNotNull()
+        grams.append(
+            g.where(cond).select(
+                "url", F.col("pos"), F.concat_ws(" ", *parts).alias("mention"), F.lit(n).alias("ngram_len")
+            )
+        )
+    out = grams[0]
+    for e in grams[1:]:
+        out = out.unionByName(e)
+    return out
+
+
+def link_mentions(
+    mentions: DataFrame, alias_dict: DataFrame, idf_weighting: bool = True
+) -> DataFrame:
+    """mentions(url, mention, pos) ⋈ alias_dict(alias, curie, prior) →
+    (url, mention, curie, score_1e6) — best candidate per (url, pos).
+
+    Score = prior × idf(alias); idf = ln(N_pages / pages-containing-alias),
+    computed over the matched mentions themselves (TF-IDF candidate scoring
+    per BASELINE.json). Argmax per mention site via row_number — ties broken
+    by curie for determinism.
+    """
+    hits = mentions.join(
+        F.broadcast(alias_dict.withColumnRenamed("alias", "mention")), on="mention"
+    )
+    if idf_weighting:
+        n_pages = mentions.select("url").distinct().count()
+        df_tbl = hits.groupBy("mention").agg(F.countDistinct("url").alias("df"))
+        hits = hits.join(F.broadcast(df_tbl), on="mention").withColumn(
+            "score", F.col("prior") * F.log(F.lit(float(n_pages) + 1.0) / (F.col("df") + 1.0))
+        )
+    else:
+        hits = hits.withColumn("score", F.col("prior"))
+    w = Window.partitionBy("url", "pos").orderBy(F.col("score").desc(), F.col("curie").asc())
+    return (
+        hits.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "url", "mention", "curie", "category",
+            F.round(F.col("score") * 1e6, 0).cast("bigint").alias("score_1e6"),
+        )
+    )
+
+
+def linked_mention_edges(linked: DataFrame) -> DataFrame:
+    """Linked mentions → KGX 'mentions' edges (page URL node → entity node)."""
+    return linked.select(
+        F.concat(F.lit("url:"), "url").alias("subject"),
+        F.lit("biolink:mentions").alias("predicate"),
+        F.col("curie").alias("object"),
+        F.array(F.col("url")).alias("provided_by"),
+    ).distinct()

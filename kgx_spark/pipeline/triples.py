@@ -1,0 +1,73 @@
+"""OpenIE-style pattern-based triple extraction + mention detection.
+
+North-rule stage 2: "OpenIE-style pattern-based triple extraction plus
+batched mention detection".
+
+Design: the extraction patterns are ENTITY RELATION ENTITY templates over
+CURIE-shaped tokens, compiled into ONE regexp executed JVM-side via
+regexp_extract_all — the hot path never leaves Tungsten. Each pattern's
+relation phrase maps to a biolink predicate. Mention detection (for entity
+linking) is n-gram tokenization + broadcast dictionary join — see link.py.
+
+This module is new work (the reference consumes structured KG files, not web
+text); its output rows are KGX edge records (subject, predicate, object,
+provenance), so everything downstream (validate/merge/canonicalize) is the
+reference's own semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# dots/dashes allowed only interior so sentence punctuation never attaches
+CURIE_TOKEN = r"[A-Za-z][A-Za-z0-9]*:[A-Za-z0-9_]+(?:[.\-][A-Za-z0-9_]+)*"
+
+# relation phrase → biolink predicate (the OpenIE pattern inventory)
+RELATION_PATTERNS: dict[str, str] = {
+    "is related to": "biolink:related_to",
+    "interacts with": "biolink:interacts_with",
+    "same as": "biolink:same_as",
+    "is a": "biolink:subclass_of",
+    "part of": "biolink:part_of",
+    "causes": "biolink:causes",
+    "treats": "biolink:treats",
+}
+
+
+def _pattern_regex() -> str:
+    phrases = "|".join(sorted(RELATION_PATTERNS, key=len, reverse=True))
+    return f"({CURIE_TOKEN}) ({phrases}) ({CURIE_TOKEN})"
+
+
+def extract_triples(
+    pages: DataFrame, text_col: str = "extracted_text", url_col: str = "url"
+) -> DataFrame:
+    """pages → raw triples(subject, predicate, object, provided_by[url]).
+
+    One regexp_extract_all per page (JVM), one explode, one predicate-map
+    lookup. No shuffle until the downstream merge.
+    """
+    rx = _pattern_regex()
+    pred_map = F.create_map(*[F.lit(x) for kv in sorted(RELATION_PATTERNS.items()) for x in kv])
+    matches = pages.select(
+        F.col(url_col).alias("url"),
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(rx), F.lit(0))).alias("m"),
+    )
+    return matches.select(
+        F.regexp_extract("m", rx, 1).alias("subject"),
+        F.element_at(pred_map, F.regexp_extract("m", rx, 2)).alias("predicate"),
+        F.regexp_extract("m", rx, 3).alias("object"),
+        F.array(F.col("url")).alias("provided_by"),
+    )
+
+
+def split_sentences(pages: DataFrame, text_col: str = "extracted_text") -> DataFrame:
+    """url, sentence_id, sentence — batched sentence segmentation (split on
+    terminal punctuation; deterministic)."""
+    return pages.select(
+        "url",
+        F.posexplode(
+            F.filter(F.split(F.col(text_col), r"(?<=[.!?])\s+"), lambda s: F.length(s) > 0)
+        ).alias("sentence_id", "sentence"),
+    )

@@ -1,0 +1,102 @@
+"""Clique merge / connected components (reference tests/unit/test_clique_merge.py)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from kgx_spark.operators.clique import (
+    build_same_as_pairs,
+    clique_merge,
+    connected_components,
+    elect_leaders,
+)
+
+
+def test_connected_components_chain(spark):
+    # multi-hop chain a-b-c-d plus disjoint pair x-y
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("c", "d"), ("x", "y")], "src string, dst string"
+    )
+    labels, iters = connected_components(pairs)
+    comp = {r["id"]: r["component"] for r in labels.collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == comp["d"] == "a"
+    assert comp["x"] == comp["y"] == "x"
+    assert iters <= 5
+
+
+def test_connected_components_large_random(spark):
+    # ring of 64 → single component, exercises multi-iteration convergence
+    n = 64
+    pairs = spark.range(n).selectExpr(
+        "format_string('N:%03d', id) as src",
+        f"format_string('N:%03d', (id + 1) % {n}) as dst",
+    )
+    labels, iters = connected_components(pairs)
+    assert labels.select("component").distinct().count() == 1
+    assert labels.count() == n
+
+
+@pytest.fixture()
+def clique_graph(spark):
+    nodes = spark.createDataFrame(
+        [
+            ("HGNC:1", "gene1 hgnc", ["biolink:Gene"], ["NCBIGene:1"]),
+            ("NCBIGene:1", "gene1 ncbi", ["biolink:Gene"], None),
+            ("ENSEMBL:1", "gene1 ens", ["biolink:Gene"], None),
+            ("MONDO:9", "disease", ["biolink:Disease"], None),
+        ],
+        "id string, name string, category array<string>, same_as array<string>",
+    )
+    edges = spark.createDataFrame(
+        [
+            ("NCBIGene:1", "biolink:same_as", "ENSEMBL:1", None),
+            ("ENSEMBL:1", "biolink:related_to", "MONDO:9", None),
+            ("MONDO:9", "biolink:affected_by", "NCBIGene:1", None),
+        ],
+        "subject string, predicate string, object string, relation string",
+    )
+    return nodes, edges
+
+
+def test_build_pairs_includes_node_prop_and_edges(spark, clique_graph):
+    nodes, edges = clique_graph
+    pairs = {(r["src"], r["dst"]) for r in build_same_as_pairs(nodes, edges).collect()}
+    assert ("HGNC:1", "NCBIGene:1") in pairs  # from same_as node property
+    assert ("NCBIGene:1", "ENSEMBL:1") in pairs  # from same_as edge
+
+
+def test_elect_leaders_prefix_priority(spark, clique_graph):
+    nodes, edges = clique_graph
+    pairs = build_same_as_pairs(nodes, edges)
+    labels, _ = connected_components(pairs)
+    leaders = elect_leaders(labels, nodes, prefix_priority=["NCBIGene", "HGNC", "ENSEMBL"])
+    l = {r["id"]: r["leader"] for r in leaders.collect()}
+    assert set(l.values()) == {"NCBIGene:1"}
+
+
+def test_clique_merge_end_to_end(spark, clique_graph):
+    nodes, edges = clique_graph
+    n2, e2, mapping = clique_merge(nodes, edges, prefix_priority=["HGNC", "NCBIGene", "ENSEMBL"])
+    ids = {r["id"] for r in n2.collect()}
+    # leader HGNC:1 survives; members folded in
+    assert ids == {"HGNC:1", "MONDO:9"}
+    leader = n2.where(F.col("id") == "HGNC:1").first()
+    assert leader["same_as"] == ["ENSEMBL:1", "NCBIGene:1"]
+    # edges re-pointed to leader, same_as intra-clique edge dropped
+    erows = e2.collect()
+    assert all(r["predicate"] != "biolink:same_as" for r in erows)
+    spo = {(r["subject"], r["predicate"], r["object"]) for r in erows}
+    assert ("HGNC:1", "biolink:related_to", "MONDO:9") in spo
+    assert ("MONDO:9", "biolink:affected_by", "HGNC:1") in spo
+    # provenance stamps (clique_merge.py:303-347)
+    stamped = e2.where(F.col("_original_subject").isNotNull()).collect()
+    assert any(r["_original_subject"] == "ENSEMBL:1" for r in stamped)
+    # mapping covers both non-leader members
+    m = {r["id"]: r["leader"] for r in mapping.collect()}
+    assert m == {"NCBIGene:1": "HGNC:1", "ENSEMBL:1": "HGNC:1"}
+
+
+def test_clique_merge_alphabetical_fallback(spark, clique_graph):
+    nodes, edges = clique_graph
+    n2, _, _ = clique_merge(nodes, edges)  # no priority → alphabetical prefix
+    ids = {r["id"] for r in n2.collect()}
+    assert "ENSEMBL:1" in ids  # 'ENSEMBL' < 'HGNC' < 'NCBIGene'

@@ -1,0 +1,147 @@
+"""Dedup + similarity + text-stat operators over the driver's documents/embeddings."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from kgx_spark.operators.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+)
+from kgx_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_topk
+from kgx_spark.operators.textstats import (
+    detect_language,
+    fingerprint,
+    quality_features,
+    regex_token_count,
+    token_count,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_duplicates(spark, docs):
+    dup = docs.unionByName(docs.limit(3))  # force 3 exact dups
+    out = exact_duplicates(dup)
+    assert out.where(F.col("n_docs") > 1).count() >= 3
+    # representative is the min doc_id — deterministic
+    assert out.count() == docs.select("text").distinct().count()
+
+
+def test_minhash_and_lsh(spark, docs):
+    near = docs.limit(5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tiny suffix")).alias("text"),
+    )
+    both = docs.select("doc_id", "text").unionByName(near)
+    sigs = minhash_signatures(both, num_hashes=8)
+    assert sigs.columns == ["doc_id"] + [f"h{i}" for i in range(8)]
+    cands = lsh_candidate_pairs(both, num_hashes=8, bands=4)
+    # every planted near-dup pair must be a candidate (suffix barely moves minhash)
+    planted = {(r["doc_id"], r["doc_id"] + 100000) for r in docs.limit(5).collect()}
+    got = {(r["doc_a"], r["doc_b"]) for r in cands.collect()}
+    assert planted <= got
+
+
+def test_jaccard_pairs(spark, docs):
+    near = docs.limit(3).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), F.col("text")
+    )
+    both = docs.select("doc_id", "text").unionByName(near)
+    out = jaccard_pairs(both, threshold=0.99)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard_1000"] for r in out.collect()}
+    for r in docs.limit(3).collect():
+        assert got[(r["doc_id"], r["doc_id"] + 100000)] == 1000
+
+
+def test_simhash_shape_and_stability(spark, docs):
+    out = simhash(docs, bits=16)
+    rows = out.collect()
+    assert all(len(r["simhash"]) == 16 and set(r["simhash"]) <= {"0", "1"} for r in rows)
+    # identical text ⇒ identical simhash
+    out2 = {r["doc_id"]: r["simhash"] for r in simhash(docs.repartition(5), bits=16).collect()}
+    for r in rows:
+        assert out2[r["doc_id"]] == r["simhash"]
+
+
+def test_brute_force_topk(spark, embeddings):
+    q = embeddings.limit(10)
+    out = brute_force_topk(q, embeddings, k=5)
+    rows = out.collect()
+    assert len(rows) == 50
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, nbrs in by_q.items():
+        ranks = sorted(r["rank"] for r in nbrs)
+        assert ranks == [1, 2, 3, 4, 5]
+        scores = [r["cos_1e6"] for r in sorted(nbrs, key=lambda r: r["rank"])]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r["neighbor_id"] != qid for r in nbrs)
+
+
+def test_lsh_topk_recall(spark, embeddings):
+    q = embeddings.limit(10)
+    exact = brute_force_topk(q, embeddings, k=1).where(F.col("rank") == 1)
+    approx = lsh_topk(q, embeddings, dim=64, k=1, planes=3, tables=12)
+    # 12 OR'd tables of 3 planes: miss prob ≤ (1-p^3)^12 — high recall even
+    # for moderate-cosine true neighbors
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "inner").count()
+    assert hits >= 8
+
+
+def test_ivf_topk_runs(spark, embeddings):
+    q = embeddings.limit(5)
+    out = ivf_topk(q, embeddings, k=3, n_cells=4)
+    assert out.count() > 0
+    assert out.groupBy("query_id").count().agg(F.max("count")).first()[0] <= 3
+
+
+def test_language_id(spark):
+    # the driver's documents.lang labels are uncorrelated with the (shared,
+    # English-ish) word-soup vocabulary, so accuracy is asserted on crafted
+    # text with real per-language function words instead
+    df = spark.createDataFrame(
+        [
+            ("the cat sat on the mat and looked out of the window", "en"),
+            ("der hund und die katze sind nicht in das haus gegangen", "de"),
+            ("le chat et la souris sont dans les jardins et la maison", "fr"),
+            ("el perro y los gatos están en las casas y el jardín", "es"),
+            ("这是一个中文句子", "zh"),
+            ("xyzzy qwerty plugh", "und"),
+        ],
+        "text string, expected string",
+    )
+    out = df.select("expected", detect_language(F.col("text")).alias("pred")).collect()
+    for r in out:
+        assert r["pred"] == r["expected"], r
+
+
+def test_quality_and_tokens(spark, docs):
+    out = quality_features(docs).first()
+    assert out["n_tokens"] > 0
+    assert out["n_chars_computed"] == len(out["text"])
+    tc = docs.select(token_count(F.col("text")).alias("t"), regex_token_count(F.col("text")).alias("rt")).first()
+    assert tc["rt"] >= tc["t"] > 0
+
+
+def test_fingerprint_order_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma  alpha beta"), (3, "alpha beta delta")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["fp"] for r in df.select("doc_id", fingerprint(F.col("text")).alias("fp")).collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]

@@ -1,0 +1,117 @@
+"""Web-text pipeline tests: extraction byte-identity, triple P/R on a known
+embedded fact set, entity linking, canonicalization, kill-resume."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from kgx_spark.pipeline.extract import extract_text, extract_text_bytes
+from kgx_spark.pipeline.kg_pipeline import run_kg_pipeline
+from kgx_spark.pipeline.link import detect_mentions, link_mentions
+from kgx_spark.pipeline.stages import read_metrics
+from kgx_spark.pipeline.synth import synth_alias_dict, synth_pages
+from kgx_spark.pipeline.triples import extract_triples
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return synth_pages(spark, SF).cache()
+
+
+def test_synth_pages_schema(pages):
+    assert set(pages.columns) == {"url", "warc_ts", "html", "text", "lang"}
+    assert pages.count() > 0
+    assert dict(pages.dtypes)["html"] == "binary"
+
+
+def test_extraction_strips_boilerplate(spark, pages):
+    row = extract_text(pages).select("url", "extracted_text", "text").first()
+    ext = row["extracted_text"]
+    assert "var x=1" not in ext  # script dropped
+    assert "color:red" not in ext  # style dropped
+    assert "Home | About" not in ext  # nav dropped
+    assert "Example Corp" not in ext  # footer dropped
+    assert row["text"] in ext or ext.startswith(row["text"][:40])
+
+
+def test_extraction_byte_identical_per_url(spark, pages):
+    """North-rule invariant: extraction is a pure function of html bytes —
+    two independent runs (and the local pure function) agree byte-for-byte."""
+    a = extract_text(pages).select("url", F.col("extracted_text").alias("t1"))
+    b = extract_text(pages.repartition(7)).select("url", F.col("extracted_text").alias("t2"))
+    joined = a.join(b, "url")
+    assert joined.where(F.col("t1") != F.col("t2")).count() == 0
+    # pure-function reference check on a sample
+    sample = pages.select("url", "html").limit(5).collect()
+    got = {r["url"]: t for r, t in zip(sample, [extract_text_bytes(r["html"]) for r in sample])}
+    spark_rows = {r["url"]: r["t1"] for r in a.join(
+        pages.select("url").limit(5), "url", "left_semi").collect()}
+    for url, t in got.items():
+        assert spark_rows[url] == t
+
+
+def test_extract_triples_matches_embedded_facts(spark, pages):
+    """P/R vs the known embedded fact set must be 1.0 — the synthetic pages
+    embed exactly the lineitem-derived sentences (plus same_as pairs)."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    expected = li.select(
+        F.concat(F.lit("P:"), "l_partkey").alias("subject"),
+        F.when(F.col("l_linenumber") % 2 == 0, "biolink:related_to")
+        .otherwise("biolink:interacts_with").alias("predicate"),
+        F.concat(F.lit("S:"), "l_suppkey").alias("object"),
+    ).distinct()
+    got = (
+        extract_triples(extract_text(pages))
+        .where(F.col("predicate") != "biolink:same_as")
+        .select("subject", "predicate", "object")
+        .distinct()
+    )
+    missed = expected.exceptAll(got.join(expected, ["subject", "predicate", "object"], "left_semi"))
+    spurious = got.exceptAll(got.join(expected, ["subject", "predicate", "object"], "left_semi"))
+    assert missed.count() == 0  # recall = 1.0
+    assert spurious.count() == 0  # precision = 1.0
+
+
+def test_entity_linking(spark, pages):
+    alias_dict = synth_alias_dict(spark, SF)
+    extracted = extract_text(pages)
+    mentions = detect_mentions(extracted)
+    linked = link_mentions(mentions, alias_dict)
+    assert linked.count() > 0
+    # every linked curie resolves through the dictionary
+    bad = linked.join(alias_dict.select(F.col("curie")), "curie", "left_anti")
+    assert bad.count() == 0
+    # argmax determinism: one candidate per (url, mention site) — re-run equal
+    linked2 = link_mentions(detect_mentions(extracted), alias_dict)
+    assert linked.exceptAll(linked2).count() == 0
+
+
+def test_full_pipeline_and_resume(spark, pages, tmp_path):
+    wd = str(tmp_path / "run1")
+    ctx = run_kg_pipeline(spark, SF, wd, link_entities=False)
+    edges = ctx["edges"]
+    n_edges = edges.count()
+    assert n_edges > 0
+    # canonicalization re-pointed every Q:/R: endpoint to its P: leader
+    qs = edges.where(F.col("subject").rlike("^[QR]:") | F.col("object").rlike("^[QR]:"))
+    assert qs.count() == 0
+    # same_as edges consumed by canonicalization
+    assert edges.where(F.col("predicate") == "biolink:same_as").count() == 0
+    # provenance survived the merge
+    assert edges.where(F.size("provided_by") < 1).count() == 0
+
+    metrics = read_metrics(wd)
+    stages_run = [m["stage"] for m in metrics]
+    assert stages_run == ["pages", "extract", "triples", "edges_raw", "canonical", "edges", "nodes"]
+    assert all(m["lineage"] for m in metrics if m["rows"] > 0)
+
+    # kill-resume: delete the LAST stage's marker → only that stage re-runs
+    os.remove(os.path.join(wd, "nodes._COMMITTED"))
+    ctx2 = run_kg_pipeline(spark, SF, wd, link_entities=False)
+    metrics2 = read_metrics(wd)
+    assert [m["stage"] for m in metrics2] == stages_run + ["nodes"]
+    assert ctx2["edges"].count() == n_edges

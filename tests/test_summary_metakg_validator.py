@@ -1,0 +1,135 @@
+"""Summary / meta-KG / validator aggregations (SURVEY.md §2.6)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from kgx_spark.operators.meta_kg import meta_edge_stats, meta_node_stats
+from kgx_spark.operators.summary import (
+    count_by_category,
+    count_by_id_prefix,
+    count_by_predicate,
+    count_by_spo_category,
+    dangling_edges,
+    duplicate_nodes,
+    summarize_graph,
+)
+from kgx_spark.operators.validator import (
+    error_report,
+    validate_edge_records,
+    validate_node_records,
+)
+
+
+@pytest.fixture()
+def graph(spark):
+    nodes = spark.createDataFrame(
+        [
+            ("HGNC:1", ["biolink:Gene"]),
+            ("HGNC:2", ["biolink:Gene", "biolink:NamedThing"]),
+            ("MONDO:1", ["biolink:Disease"]),
+        ],
+        "id string, category array<string>",
+    )
+    edges = spark.createDataFrame(
+        [
+            ("HGNC:1", "biolink:related_to", "MONDO:1"),
+            ("HGNC:2", "biolink:related_to", "MONDO:1"),
+            ("HGNC:1", "biolink:interacts_with", "HGNC:2"),
+            ("HGNC:1", "biolink:related_to", "GHOST:1"),  # dangling
+        ],
+        "subject string, predicate string, object string",
+    )
+    return nodes, edges
+
+
+def test_count_by_category(spark, graph):
+    nodes, _ = graph
+    counts = {r["category"]: r["count"] for r in count_by_category(nodes).collect()}
+    assert counts == {"biolink:Gene": 2, "biolink:NamedThing": 1, "biolink:Disease": 1}
+
+
+def test_count_by_id_prefix(spark, graph):
+    nodes, _ = graph
+    rows = {(r["category"], r["prefix"]): r["count"] for r in count_by_id_prefix(nodes).collect()}
+    assert rows[("biolink:Gene", "HGNC")] == 2
+    assert rows[("biolink:Disease", "MONDO")] == 1
+
+
+def test_count_by_predicate(spark, graph):
+    _, edges = graph
+    counts = {r["predicate"]: r["count"] for r in count_by_predicate(edges).collect()}
+    assert counts == {"biolink:related_to": 3, "biolink:interacts_with": 1}
+
+
+def test_count_by_spo_category(spark, graph):
+    nodes, edges = graph
+    rows = {
+        (r["subject_category"], r["predicate"], r["object_category"]): r["count"]
+        for r in count_by_spo_category(edges, nodes).collect()
+    }
+    assert rows[("biolink:Gene", "biolink:related_to", "biolink:Disease")] == 2
+    # multivalued category on HGNC:2 → counted under both categories
+    assert rows[("biolink:Gene", "biolink:interacts_with", "biolink:Gene")] == 1
+    assert rows[("biolink:Gene", "biolink:interacts_with", "biolink:NamedThing")] == 1
+    # dangling edge has no object category → absent
+    assert not any(k[2] is None for k in rows)
+
+
+def test_duplicates_and_dangling(spark, graph):
+    nodes, edges = graph
+    dup = nodes.unionByName(nodes.limit(1))
+    assert duplicate_nodes(dup).count() == 1
+    d = dangling_edges(edges, nodes).collect()
+    assert len(d) == 1 and d[0]["object"] == "GHOST:1"
+
+
+def test_summarize_graph_rollup(spark, graph):
+    nodes, edges = graph
+    s = summarize_graph(nodes, edges)
+    assert s["node_stats"]["total_nodes"] == 3
+    assert s["edge_stats"]["total_edges"] == 4
+    assert s["edge_stats"]["count_by_predicates"]["biolink:related_to"] == 3
+
+
+def test_meta_node_stats(spark, graph):
+    nodes, _ = graph
+    rows = {r["category"]: r for r in meta_node_stats(nodes).collect()}
+    assert rows["biolink:Gene"]["id_prefixes"] == ["HGNC"]
+    assert rows["biolink:Gene"]["count"] == 2
+
+
+def test_meta_edge_stats_excludes_invalid_predicate(spark, graph):
+    nodes, edges = graph
+    bad = spark.createDataFrame(
+        [("HGNC:1", "NOT_A_PREDICATE", "MONDO:1")], "subject string, predicate string, object string"
+    )
+    rows = meta_edge_stats(edges.unionByName(bad), nodes).collect()
+    preds = {r["predicate"] for r in rows}
+    assert "NOT_A_PREDICATE" not in preds
+
+
+def test_validator(spark):
+    nodes = spark.createDataFrame(
+        [
+            ("HGNC:1", ["biolink:Gene"]),           # valid
+            ("not a curie", ["biolink:Gene"]),      # invalid id
+            ("HGNC:3", ["gene"]),                   # invalid category form
+            ("HGNC:4", ["biolink:MadeUpThing"]),    # unknown category → warning
+        ],
+        "id string, category array<string>",
+    )
+    errs = validate_node_records(nodes)
+    by_type = {r["error_type"]: r for r in error_report(errs).collect()}
+    assert "INVALID_NODE_PROPERTY_VALUE" in by_type
+    assert by_type["INVALID_CATEGORY"]["entities"] == ["HGNC:3"]
+    assert "HGNC:4" in by_type["UNKNOWN_CATEGORY"]["entities"]
+
+    edges = spark.createDataFrame(
+        [
+            ("HGNC:1", "biolink:related_to", "HGNC:2"),
+            ("HGNC:1", "biolink:RelatedTo", "HGNC:2"),  # bad predicate form
+        ],
+        "subject string, predicate string, object string",
+    )
+    erep = {r["error_type"] for r in error_report(validate_edge_records(edges)).collect()}
+    assert "INVALID_EDGE_PREDICATE" in erep
