@@ -48,6 +48,10 @@ def main() -> None:
     extras: dict[str, float] = {}
 
     def timed(name, fn):
+        import gc
+
+        gc.collect()  # release Python refs to checkpointed RDDs from prior query
+        spark.catalog.clearCache()
         t0 = time.monotonic()
         out = fn()
         timings[name] = round(time.monotonic() - t0, 3)

@@ -33,7 +33,7 @@ SAME_AS = "biolink:same_as"
 
 
 def connected_components(
-    pairs: DataFrame, max_iterations: int = 50, checkpoint_every: int = 1
+    pairs: DataFrame, max_iterations: int = 50
 ) -> tuple[DataFrame, int]:
     """pairs(src, dst) → (id, component) where component = min id (lexicographic).
 
@@ -75,10 +75,12 @@ def connected_components(
             .select("id", F.least("component", "nbr_min").alias("component"),
                     (F.col("nbr_min") < F.col("component")).alias("_changed"))
         )
+        # checkpoint FIRST (eager, one pass), then read convergence off the
+        # materialized result — otherwise the join executes twice per round
+        # (once for the changed-count, once for the checkpoint).
+        new_labels = new_labels.localCheckpoint()
         changed = new_labels.where(F.col("_changed")).limit(1).count()
         labels = new_labels.drop("_changed")
-        if i % checkpoint_every == 0:
-            labels = labels.localCheckpoint()
         if changed == 0:
             break
     return labels, iterations

@@ -36,11 +36,20 @@ def build_stages(
     link_entities: bool = True,
     out_partitions: int = 32,
 ) -> list[Stage]:
-    def s_pages(spark: SparkSession, ctx: dict) -> DataFrame:
-        return pages_df if pages_df is not None else synth_pages(spark, sf_dir)
-
     def s_extract(spark: SparkSession, ctx: dict) -> DataFrame:
-        return extract_text(ctx["pages"]).select("url", "warc_ts", "extracted_text", "lang")
+        # pages is the pipeline INPUT (an existing Iceberg table in
+        # production) — never snapshotted by us: re-writing terabytes of html
+        # would double the job's IO. (Measured locally: persisting the
+        # html-bearing pages table caused tens of seconds of writeback stalls
+        # bleeding into later stages.) The first OUTPUT snapshot is the
+        # extracted text, orders of magnitude smaller than the html.
+        pages = pages_df if pages_df is not None else synth_pages(spark, sf_dir)
+        # Few-large-files inputs (single-split parquet at test scale)
+        # under-parallelize the CPU-bound extract/triples path — re-spread to
+        # ~2× cores; the extract snapshot then preserves this layout.
+        target = max(2 * spark.sparkContext.defaultParallelism, 8)
+        pages = pages.repartition(target, "url")
+        return extract_text(pages).select("url", "warc_ts", "extracted_text", "lang")
 
     def s_triples(spark: SparkSession, ctx: dict) -> DataFrame:
         return extract_triples(ctx["extract"])
@@ -86,7 +95,6 @@ def build_stages(
         return salted_repartition(valid, "id", out_partitions)
 
     stages = [
-        Stage("pages", s_pages),
         Stage("extract", s_extract),
         Stage("triples", s_triples),
     ]

@@ -73,20 +73,34 @@ def read_obograph(
     ]
     if meta:
         m = F.col("meta")
+        meta_fields = {
+            f.name for f in raw_nodes.schema["meta"].dataType.fields  # type: ignore[union-attr]
+        }
+
+        def mf(name):
+            return m.getField(name) if name in meta_fields else F.lit(None)
+
         sel += [
-            m.getField("definition").getField("val").alias("description"),
-            F.transform(m.getField("synonyms"), lambda s: s.getField("val")).alias("synonym"),
-            F.transform(m.getField("xrefs"), lambda x: x.getField("val")).alias("xref"),
-            F.filter(
-                F.transform(
-                    m.getField("basicPropertyValues"),
-                    lambda b: F.when(
-                        b.getField("pred").contains("exactMatch"), contract(b.getField("val"))
+            (mf("definition").getField("val") if "definition" in meta_fields else F.lit(None).cast("string")).alias("description"),
+            F.transform(mf("synonyms"), lambda s: s.getField("val")).alias("synonym")
+            if "synonyms" in meta_fields else F.lit(None).cast("array<string>").alias("synonym"),
+            F.transform(mf("xrefs"), lambda x: x.getField("val")).alias("xref")
+            if "xrefs" in meta_fields else F.lit(None).cast("array<string>").alias("xref"),
+            (
+                F.filter(
+                    F.transform(
+                        mf("basicPropertyValues"),
+                        lambda b: F.when(
+                            b.getField("pred").contains("exactMatch"), contract(b.getField("val"))
+                        ),
                     ),
-                ),
-                lambda v: v.isNotNull(),
+                    lambda v: v.isNotNull(),
+                )
+                if "basicPropertyValues" in meta_fields
+                else F.lit(None).cast("array<string>")
             ).alias("same_as"),
-            F.coalesce(m.getField("deprecated"), F.lit(False)).alias("deprecated"),
+            (F.coalesce(mf("deprecated").cast("boolean"), F.lit(False))
+             if "deprecated" in meta_fields else F.lit(False)).alias("deprecated"),
         ]
     nodes = sanitize_import(raw_nodes.select(*sel))
 

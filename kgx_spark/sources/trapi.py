@@ -1,0 +1,126 @@
+"""TRAPI knowledge-graph JSON source.
+
+Reference: kgx/source/trapi_source.py:28-566
+- knowledge_graph.nodes is a map {curie: {name, categories, attributes}};
+  `categories` → `category` (63-120)
+- knowledge_graph.edges is a map {key: {subject, predicate, object,
+  attributes, sources}} (122-200)
+- attributes [{attribute_type_id, value}] flatten to properties with the
+  `biolink:` prefix stripped (202-320)
+- sources [{resource_id, resource_role}] → primary_knowledge_source /
+  aggregator_knowledge_source (322-400)
+
+Spark design: multiLine json read; the JSON maps become MapType columns via
+from_json-free access (spark.read.json infers maps as structs of fields —
+instead we read as text and use from_json with MapType for true map
+semantics); explode map entries; attributes re-flattened with map_from_entries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kgx_spark.functions.keys import generate_edge_identifiers
+from kgx_spark.operators.sanitize import sanitize_import
+from kgx_spark.operators.validate import validate_edges, validate_nodes
+
+_ATTR = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("attribute_type_id", T.StringType()),
+            T.StructField("value", T.StringType()),
+        ]
+    )
+)
+_NODE_VAL = T.StructType(
+    [
+        T.StructField("name", T.StringType()),
+        T.StructField("categories", T.ArrayType(T.StringType())),
+        T.StructField("attributes", _ATTR),
+    ]
+)
+_EDGE_VAL = T.StructType(
+    [
+        T.StructField("subject", T.StringType()),
+        T.StructField("predicate", T.StringType()),
+        T.StructField("object", T.StringType()),
+        T.StructField("attributes", _ATTR),
+        T.StructField(
+            "sources",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("resource_id", T.StringType()),
+                        T.StructField("resource_role", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+_KG = T.StructType(
+    [
+        T.StructField(
+            "knowledge_graph",
+            T.StructType(
+                [
+                    T.StructField("nodes", T.MapType(T.StringType(), _NODE_VAL)),
+                    T.StructField("edges", T.MapType(T.StringType(), _EDGE_VAL)),
+                ]
+            ),
+        )
+    ]
+)
+
+
+def _attrs_map(col: F.Column) -> F.Column:
+    """attributes[] → map<property, value> with biolink: prefix stripped
+    (trapi_source.py:202-320)."""
+    entries = F.transform(
+        col,
+        lambda a: F.struct(
+            F.regexp_replace(a["attribute_type_id"], "^biolink:", "").alias("key"),
+            a["value"].alias("value"),
+        ),
+    )
+    return F.map_from_entries(F.coalesce(entries, F.array()))
+
+
+def read_trapi(
+    spark: SparkSession, path: str, validate: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    raw = spark.read.text(path, wholetext=True).select(
+        F.from_json("value", _KG).alias("doc")
+    )
+    nodes_map = raw.select(F.explode("doc.knowledge_graph.nodes").alias("id", "n"))
+    nodes = nodes_map.select(
+        "id",
+        F.col("n.name").alias("name"),
+        F.col("n.categories").alias("category"),
+        _attrs_map(F.col("n.attributes")).alias("attributes"),
+    )
+    edges_map = raw.select(F.explode("doc.knowledge_graph.edges").alias("key", "e"))
+    src = F.col("e.sources")
+    primary = F.get(
+        F.filter(src, lambda s: s["resource_role"] == "primary_knowledge_source"), 0
+    )["resource_id"]
+    aggs = F.transform(
+        F.filter(src, lambda s: s["resource_role"] == "aggregator_knowledge_source"),
+        lambda s: s["resource_id"],
+    )
+    edges = edges_map.select(
+        F.col("e.subject").alias("subject"),
+        F.col("e.predicate").alias("predicate"),
+        F.col("e.object").alias("object"),
+        primary.alias("primary_knowledge_source"),
+        aggs.alias("aggregator_knowledge_source"),
+        _attrs_map(F.col("e.attributes")).alias("attributes"),
+    )
+    edges = generate_edge_identifiers(edges)
+    nodes = sanitize_import(nodes)
+    if validate:
+        nodes, _ = validate_nodes(nodes)
+        edges, _ = validate_edges(edges)
+    return nodes, edges

@@ -1,0 +1,209 @@
+"""Transformer orchestration: the `kgx transform` / `kgx merge` surface.
+
+Reference: kgx/transformer.py:135-299 (transform), kgx/cli/cli_utils.py:552-901
+(transform/merge entry points), kgx/utils/kgx_utils.py:1067-1085
+(apply_graph_operations dotted-name dispatch).
+
+Differences by design (SURVEY.md §3.1): no stream/non-stream split — a
+DataFrame plan is always lazy ("streaming" in KGX's bounded sense); no
+multiprocessing pool — partition parallelism subsumes it; the per-source
+provenance default (input filename) is applied as a column expression.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pyspark.sql import functions as F
+from kgx_spark.operators import graph_ops
+from kgx_spark.operators.clique import clique_merge
+from kgx_spark.operators.filters import apply_edge_filters, apply_node_filters
+from kgx_spark.operators.merge import merge_graphs
+
+Graph = tuple[DataFrame, DataFrame]
+
+
+def read_source(spark: SparkSession, input_args: dict[str, Any]) -> Graph:
+    """SOURCE_MAP dispatch (kgx/transformer.py:43-60, 411-430)."""
+    fmt = input_args["format"]
+    path = input_args["filename"]
+    if fmt in ("tsv", "csv"):
+        from kgx_spark.sources.tsv import read_kgx_tsv
+
+        nodes, edges = read_kgx_tsv(spark, path, fmt=fmt)
+    elif fmt == "jsonl":
+        from kgx_spark.sources.jsonl import read_kgx_jsonl
+
+        nodes, edges = read_kgx_jsonl(spark, path)
+    elif fmt == "json":
+        from kgx_spark.sources.json_source import read_kgx_json
+
+        nodes, edges = read_kgx_json(spark, path)
+    elif fmt == "parquet":
+        from kgx_spark.sources.parquet import read_kgx_parquet
+
+        nodes, edges = read_kgx_parquet(spark, path)
+    elif fmt in ("obojson", "obograph-json"):
+        from kgx_spark.sources.obograph import read_obograph
+
+        nodes, edges = read_obograph(spark, path)
+    elif fmt == "sssom":
+        from kgx_spark.sources.sssom import read_sssom
+
+        nodes, edges, _ = read_sssom(spark, path)
+    elif fmt == "nt":
+        from kgx_spark.sources.rdf_nt import read_ntriples
+
+        nodes, edges = read_ntriples(spark, path)
+    elif fmt == "trapi":
+        from kgx_spark.sources.trapi import read_trapi
+
+        nodes, edges = read_trapi(spark, path)
+    else:
+        raise ValueError(f"unknown source format: {fmt}")
+
+    # per-source provenance default from the record's own input filename
+    # (transformer.py:211 uses os.path.basename(f); input_file_name() is the
+    # distributed equivalent and is resolved at scan time, per row)
+    default = input_args.get("default_provenance")
+    for which in ("nodes", "edges"):
+        df = nodes if which == "nodes" else edges
+        if df is None:
+            continue
+        filler = (
+            F.array(F.lit(default))
+            if default
+            else F.array(F.split_part(
+                F.element_at(F.split(F.input_file_name(), "/"), -1), F.lit("."), F.lit(1)
+            ))
+        )
+        if "provided_by" not in df.columns:
+            df = df.withColumn("provided_by", filler)
+        else:
+            cur = F.col("provided_by")
+            df = df.withColumn(
+                "provided_by", F.when(cur.isNull() | (F.size(cur) == 0), filler).otherwise(cur)
+            )
+        if which == "nodes":
+            nodes = df
+        else:
+            edges = df
+
+    # filters (transformer.py:177-209 wiring)
+    node_filters = input_args.get("node_filters") or {}
+    edge_filters = input_args.get("edge_filters") or {}
+    if node_filters and nodes is not None:
+        nodes = apply_node_filters(nodes, node_filters)
+    if edge_filters and edges is not None:
+        edges = apply_edge_filters(edges, edge_filters, nodes=nodes)
+    if node_filters and nodes is not None and edges is not None:
+        # edges must connect surviving nodes (seen-node gating,
+        # transformer.py:349-374)
+        from kgx_spark.operators.filters import remove_dangling_edges
+
+        edges = remove_dangling_edges(edges, nodes)
+    return nodes, edges
+
+
+def write_sink(nodes: DataFrame | None, edges: DataFrame | None, output_args: dict[str, Any]) -> None:
+    """SINK_MAP dispatch (kgx/transformer.py:62-75, 432-460)."""
+    fmt = output_args["format"]
+    path = output_args["filename"]
+    if fmt in ("tsv", "csv"):
+        from kgx_spark.sinks.tsv import write_kgx_tsv
+
+        write_kgx_tsv(nodes, edges, path, fmt=fmt, single_file=output_args.get("single_file", False))
+    elif fmt == "jsonl":
+        from kgx_spark.sinks.jsonl import write_kgx_jsonl
+
+        write_kgx_jsonl(nodes, edges, path, compression=output_args.get("compression"))
+    elif fmt == "parquet":
+        from kgx_spark.sinks.parquet import write_kgx_parquet
+
+        write_kgx_parquet(nodes, edges, path, partition_by=output_args.get("partition_by"))
+    elif fmt == "nt":
+        from kgx_spark.sinks.rdf_nt import write_ntriples
+
+        write_ntriples(nodes, edges, path, reify_all_edges=output_args.get("reify_all_edges", False))
+    elif fmt == "json":
+        from kgx_spark.sinks.trapi import write_kgx_json
+
+        write_kgx_json(nodes, edges, path)
+    elif fmt == "trapi":
+        from kgx_spark.sinks.trapi import write_trapi
+
+        write_trapi(nodes, edges, path)
+    elif fmt == "null":
+        # NullSink (kgx/sink/null_sink.py): force evaluation, discard
+        for df in (nodes, edges):
+            if df is not None:
+                df.write.format("noop").mode("overwrite").save()
+    else:
+        raise ValueError(f"unknown sink format: {fmt}")
+
+
+# --- graph operations registry (kgx_utils.py:1067-1085 dotted-name dispatch) ---
+
+def _op_clique_merge(nodes: DataFrame, edges: DataFrame, **kw) -> Graph:
+    n, e, _ = clique_merge(
+        nodes, edges,
+        prefix_priority=kw.get("prefix_prioritization"),
+        leader_annotation=kw.get("leader_annotation"),
+    )
+    return n, e
+
+
+OPERATIONS: dict[str, Callable[..., Graph]] = {
+    "remap_node_identifier": lambda n, e, **kw: graph_ops.remap_node_identifier(n, e, **kw),
+    "remap_node_property": lambda n, e, **kw: (graph_ops.remap_node_property(n, **kw), e),
+    "remap_edge_property": lambda n, e, **kw: (n, graph_ops.remap_edge_property(e, **kw)),
+    "fold_predicate": lambda n, e, **kw: graph_ops.fold_predicate(n, e, **kw),
+    "unfold_node_property": lambda n, e, **kw: graph_ops.unfold_node_property(n, e, **kw),
+    "remove_singleton_nodes": lambda n, e, **kw: (graph_ops.remove_singleton_nodes(n, e), e),
+    "clique_merge": _op_clique_merge,
+}
+
+
+def apply_graph_operations(nodes: DataFrame, edges: DataFrame, operations: list[dict]) -> Graph:
+    """operations: [{"name": ..., "args": {...}}, ...] applied in order
+    (kgx_utils.py:1067-1085; YAML `operations:` block in kgx transform)."""
+    for op in operations:
+        name = op["name"].rsplit(".", 1)[-1]  # tolerate dotted paths
+        if name not in OPERATIONS:
+            raise ValueError(f"unknown graph operation: {name}")
+        nodes, edges = OPERATIONS[name](nodes, edges, **(op.get("args") or {}))
+    return nodes, edges
+
+
+def transform(
+    spark: SparkSession,
+    input_args: dict[str, Any],
+    output_args: dict[str, Any],
+    operations: list[dict] | None = None,
+) -> Graph:
+    """kgx transform: source → filters → operations → sink
+    (kgx/transformer.py:135-299)."""
+    nodes, edges = read_source(spark, input_args)
+    if operations:
+        nodes, edges = apply_graph_operations(nodes, edges, operations)
+    write_sink(nodes, edges, output_args)
+    return nodes, edges
+
+
+def merge(
+    spark: SparkSession,
+    sources: list[dict[str, Any]],
+    output_args: dict[str, Any],
+    operations: list[dict] | None = None,
+    preserve: bool = True,
+) -> Graph:
+    """kgx merge: N sources → unionByName → groupBy merge → operations → sink
+    (kgx/cli/cli_utils.py:723-901 + graph_merge.py)."""
+    graphs = [read_source(spark, s) for s in sources]
+    nodes, edges = merge_graphs(graphs, preserve=preserve)
+    if operations:
+        nodes, edges = apply_graph_operations(nodes, edges, operations)
+    write_sink(nodes, edges, output_args)
+    return nodes, edges

@@ -1,0 +1,74 @@
+"""spark-submit entrypoint for the KG-construction pipeline.
+
+Cluster usage (north rule: "ships via spark-submit --py-files"):
+
+    zip -r kgx_spark.zip kgx_spark
+    spark-submit --py-files kgx_spark.zip scripts/run_pipeline.py \
+        --sf-dir /data/testdata/sf0.1 --workdir /data/runs/kg1
+
+Local sandbox usage (same code path):
+
+    python scripts/run_pipeline.py --sf-dir /root/testdata/sf0.01 \
+        --workdir /tmp/kgrun --master 'local[8]'
+
+Re-running with the same --workdir resumes from the last committed stage
+snapshot (kill-resume contract, kgx_spark/pipeline/stages.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from kgx_spark.pipeline.kg_pipeline import run_kg_pipeline  # noqa: E402
+from kgx_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--sf-dir", required=True, help="input table directory (parquet)")
+    ap.add_argument("--workdir", required=True, help="stage snapshot + metrics directory")
+    ap.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
+    ap.add_argument("--no-link", action="store_true", help="skip the entity-linking stage")
+    ap.add_argument("--force", action="store_true", help="recompute even committed stages")
+    ap.add_argument("--repeat-input", type=int, default=1,
+                    help="replicate the page corpus N× (scaling experiments)")
+    args = ap.parse_args()
+
+    spark = get_spark("kgx_pipeline", master=args.master)
+    pages_df = None
+    if args.repeat_input > 1:
+        from pyspark.sql import functions as F
+
+        from kgx_spark.pipeline.synth import synth_pages
+
+        base = synth_pages(spark, args.sf_dir)
+        pages_df = (
+            base.crossJoin(spark.range(args.repeat_input).select(F.col("id").alias("_rep")))
+            .withColumn("url", F.concat_ws("#", "url", "_rep"))
+            .drop("_rep")
+        )
+
+    t0 = time.monotonic()
+    ctx = run_kg_pipeline(
+        spark, args.sf_dir, args.workdir,
+        pages_df=pages_df, link_entities=not args.no_link, force=args.force,
+    )
+    wall = time.monotonic() - t0
+    n_edges = ctx["edges"].count()
+    print(json.dumps({
+        "edges": n_edges,
+        "wall_sec": round(wall, 2),
+        "triples_per_sec": round(n_edges / wall, 1),
+        "master": spark.sparkContext.master,
+        "workdir": args.workdir,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -106,7 +106,7 @@ def test_full_pipeline_and_resume(spark, pages, tmp_path):
 
     metrics = read_metrics(wd)
     stages_run = [m["stage"] for m in metrics]
-    assert stages_run == ["pages", "extract", "triples", "edges_raw", "canonical", "edges", "nodes"]
+    assert stages_run == ["extract", "triples", "edges_raw", "canonical", "edges", "nodes"]
     assert all(m["lineage"] for m in metrics if m["rows"] > 0)
 
     # kill-resume: delete the LAST stage's marker → only that stage re-runs

@@ -1,0 +1,95 @@
+"""SSSOM + OBOGraph sources and traversal ops."""
+
+import json
+
+import pyspark.sql.functions as F
+import pytest
+
+from kgx_spark.operators.traverse import get_ancestors, get_parents
+from kgx_spark.sources.obograph import read_obograph
+from kgx_spark.sources.sssom import read_sssom
+
+SSSOM = """#curie_map:
+#  HP: http://purl.obolibrary.org/obo/HP_
+#  MP: http://purl.obolibrary.org/obo/MP_
+#mapping_provider: https://example.org
+subject_id\tsubject_label\tpredicate_id\tobject_id\tobject_label
+HP:0000175\tCleft palate\tskos:exactMatch\tMP:0000111\tcleft palate
+HP:0000252\tMicrocephaly\tskos:exactMatch\tMP:0000433\tmicrocephaly
+"""
+
+
+def test_sssom(spark, tmp_path):
+    p = tmp_path / "m.sssom.tsv"
+    p.write_text(SSSOM)
+    nodes, edges, meta = read_sssom(spark, str(p))
+    assert meta["mapping_provider"] == "https://example.org"
+    assert meta["curie_map"]["HP"].startswith("http://purl.obolibrary")
+    assert nodes.count() == 4  # 2 subjects + 2 objects
+    assert edges.count() == 2
+    e = edges.orderBy("subject").first()
+    assert (e["subject"], e["predicate"], e["object"]) == ("HP:0000175", "skos:exactMatch", "MP:0000111")
+    # set-level metadata copied onto every edge (sssom_source.py:282-292)
+    assert e["mapping_provider"] == "https://example.org"
+
+
+OBO = {
+    "graphs": [
+        {
+            "nodes": [
+                {
+                    "id": "http://purl.obolibrary.org/obo/GO_0008150",
+                    "lbl": "biological_process",
+                    "meta": {
+                        "definition": {"val": "A process."},
+                        "synonyms": [{"pred": "hasExactSynonym", "val": "bp"}],
+                        "xrefs": [{"val": "Wikipedia:Biological_process"}],
+                        "basicPropertyValues": [
+                            {"pred": "http://www.w3.org/2004/02/skos/core#exactMatch",
+                             "val": "http://identifiers.org/hgnc/42"}
+                        ],
+                    },
+                },
+                {"id": "http://purl.obolibrary.org/obo/GO_0008151", "lbl": "child process"},
+            ],
+            "edges": [
+                {"sub": "http://purl.obolibrary.org/obo/GO_0008151",
+                 "pred": "is_a",
+                 "obj": "http://purl.obolibrary.org/obo/GO_0008150"}
+            ],
+        }
+    ]
+}
+
+
+def test_obograph(spark, tmp_path):
+    p = tmp_path / "o.json"
+    p.write_text(json.dumps(OBO))
+    nodes, edges = read_obograph(spark, str(p))
+    n = {r["id"]: r for r in nodes.collect()}
+    assert set(n) == {"GO:0008150", "GO:0008151"}
+    root = n["GO:0008150"]
+    assert root["name"] == "biological_process"
+    assert root["description"] == "A process."
+    assert root["synonym"] == ["bp"]
+    assert root["same_as"] == ["HGNC:42"]
+    assert root["category"] == ["biolink:BiologicalProcessOrActivity"]
+    e = edges.first()
+    assert (e["subject"], e["predicate"], e["object"]) == ("GO:0008151", "biolink:subclass_of", "GO:0008150")
+
+
+def test_traversal(spark):
+    edges = spark.createDataFrame(
+        [
+            ("C:1", "biolink:subclass_of", "B:1"),
+            ("B:1", "biolink:subclass_of", "A:1"),
+            ("A:1", "biolink:subclass_of", "ROOT:0"),
+            ("C:1", "biolink:related_to", "X:9"),  # wrong predicate — ignored
+        ],
+        "subject string, predicate string, object string",
+    )
+    start = spark.createDataFrame([("C:1",)], "id string")
+    parents = {r["id"] for r in get_parents(edges, start).collect()}
+    assert parents == {"B:1"}
+    anc = {(r["ancestor"], r["hops"]) for r in get_ancestors(edges, start).collect()}
+    assert anc == {("B:1", 1), ("A:1", 2), ("ROOT:0", 3)}

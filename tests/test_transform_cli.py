@@ -1,0 +1,131 @@
+"""Transformer orchestration + CLI + trapi/sssom/obograph sources
+(mirrors tests/integration/test_transform.py round-trip style)."""
+
+import json
+
+import pyspark.sql.functions as F
+import pytest
+
+from kgx_spark.sinks.trapi import write_kgx_json, write_trapi
+from kgx_spark.sources.trapi import read_trapi
+from kgx_spark.transform import merge, transform
+
+NODES_TSV = """id\tname\tcategory
+HGNC:1\tg1\tbiolink:Gene
+HGNC:2\tg2\tbiolink:Gene
+MONDO:1\td1\tbiolink:Disease
+"""
+EDGES_TSV = """subject\tpredicate\tobject
+HGNC:1\tbiolink:related_to\tMONDO:1
+HGNC:2\tbiolink:interacts_with\tHGNC:1
+"""
+
+
+@pytest.fixture()
+def tsv_dir(tmp_path):
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "g_nodes.tsv").write_text(NODES_TSV)
+    (d / "g_edges.tsv").write_text(EDGES_TSV)
+    return d
+
+
+def test_transform_tsv_to_jsonl_with_filters(spark, tsv_dir, tmp_path):
+    nodes, edges = transform(
+        spark,
+        {"filename": str(tsv_dir), "format": "tsv", "node_filters": {"category": {"biolink:Gene"}}},
+        {"filename": str(tmp_path / "out" / "g"), "format": "jsonl"},
+    )
+    assert nodes.count() == 2  # MONDO filtered out
+    assert edges.count() == 1  # dangling edge to MONDO dropped
+    # provenance defaulted from filename (transformer.py:211)
+    assert nodes.first()["provided_by"] == ["g_nodes"]
+
+
+def test_transform_with_operations(spark, tsv_dir, tmp_path):
+    nodes, edges = transform(
+        spark,
+        {"filename": str(tsv_dir), "format": "tsv"},
+        {"filename": str(tmp_path / "o" / "g"), "format": "parquet"},
+        operations=[{"name": "fold_predicate", "args": {"predicate": "biolink:interacts_with", "remove_prefix": True}}],
+    )
+    assert edges.where(F.col("predicate") == "biolink:interacts_with").count() == 0
+    assert nodes.where(F.col("interacts_with").isNotNull()).count() == 1
+
+
+def test_merge_two_sources(spark, tsv_dir, tmp_path):
+    d2 = tmp_path / "in2"
+    d2.mkdir()
+    (d2 / "h_nodes.tsv").write_text("id\tname\tcategory\nHGNC:1\tg1x\tbiolink:NamedThing\nHGNC:9\tg9\tbiolink:Gene\n")
+    (d2 / "h_edges.tsv").write_text("subject\tpredicate\tobject\nHGNC:1\tbiolink:related_to\tMONDO:1\n")
+    nodes, edges = merge(
+        spark,
+        [{"filename": str(tsv_dir), "format": "tsv"}, {"filename": str(d2), "format": "tsv"}],
+        {"filename": str(tmp_path / "m" / "g"), "format": "jsonl"},
+    )
+    assert nodes.count() == 4  # HGNC:1 merged
+    assert edges.count() == 2  # (HGNC:1,related_to,MONDO:1) deduped
+    h1 = nodes.where(F.col("id") == "HGNC:1").first()
+    assert sorted(h1["provided_by"]) == ["g_nodes", "h_nodes"]
+    e = edges.where(F.col("object") == "MONDO:1").first()
+    assert sorted(e["provided_by"]) == ["g_edges", "h_edges"]
+
+
+def test_trapi_roundtrip(spark, tmp_path):
+    doc = {
+        "knowledge_graph": {
+            "nodes": {
+                "HGNC:1": {"name": "g1", "categories": ["biolink:Gene"],
+                           "attributes": [{"attribute_type_id": "biolink:synonym", "value": "gene-one"}]},
+                "MONDO:1": {"name": "d1", "categories": ["biolink:Disease"], "attributes": []},
+            },
+            "edges": {
+                "e1": {"subject": "HGNC:1", "predicate": "biolink:related_to", "object": "MONDO:1",
+                        "attributes": [],
+                        "sources": [{"resource_id": "infores:x", "resource_role": "primary_knowledge_source"}]},
+            },
+        }
+    }
+    p = tmp_path / "t.json"
+    p.write_text(json.dumps(doc))
+    nodes, edges = read_trapi(spark, str(p))
+    assert nodes.count() == 2
+    n = {r["id"]: r for r in nodes.collect()}
+    assert n["HGNC:1"]["attributes"]["synonym"] == "gene-one"
+    e = edges.first()
+    assert e["primary_knowledge_source"] == "infores:x"
+    # write back out and re-read
+    out = tmp_path / "out.json"
+    write_trapi(nodes.drop("attributes"), edges.drop("attributes"), str(out))
+    nodes2, edges2 = read_trapi(spark, str(out))
+    assert nodes2.count() == 2 and edges2.count() == 1
+
+
+def test_json_sink(spark, tmp_path):
+    from kgx_spark.sources.json_source import read_kgx_json
+
+    nodes = spark.createDataFrame([("A:1", "n1")], "id string, name string")
+    edges = spark.createDataFrame(
+        [("A:1", "biolink:related_to", "A:2")], "subject string, predicate string, object string"
+    )
+    out = tmp_path / "g.json"
+    write_kgx_json(nodes, edges, str(out))
+    nodes2, edges2 = read_kgx_json(spark, str(out))
+    assert nodes2.count() == 1 and edges2.count() == 1
+
+
+def test_cli_transform_and_summary(spark, tsv_dir, tmp_path, capsys):
+    from kgx_spark.__main__ import main
+
+    rc = main([
+        "transform", "-i", str(tsv_dir), "--input-format", "tsv",
+        "-o", str(tmp_path / "c" / "g"), "--output-format", "jsonl",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"nodes": 3, "edges": 2}
+
+    rc = main(["graph-summary", "-i", str(tsv_dir), "--input-format", "tsv"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["node_stats"]["total_nodes"] == 3
