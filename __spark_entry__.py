@@ -291,6 +291,39 @@ def q_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
     return quantized_topk(queries, emb, k=5)
 
 
+def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    from kgx_spark.operators.similarity import embedding_near_dups
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select("vec_id", "embedding")
+    planted = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), F.col("embedding")
+    )
+    return embedding_near_dups(emb.unionByName(planted), threshold_1e6=990_000, exact=True)
+
+
+def q_events_window(spark: SparkSession, sf: str) -> DataFrame:
+    from kgx_spark.operators.events import windowed_counts
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    out = windowed_counts(ev, "1 hour")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type", "n_events", "sum_value_1e2",
+    )
+
+
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    from kgx_spark.operators.events import sessionize
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    out = sessionize(ev, gap_minutes=30)
+    return out.select(
+        "user_id", "session_seq",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+    )
+
+
 def q_langid(spark: SparkSession, sf: str) -> DataFrame:
     return _docs(spark, sf).select("doc_id", detect_language(F.col("text")).alias("lang_pred"))
 
@@ -329,6 +362,15 @@ def q_pipeline_triples(spark: SparkSession, sf: str) -> DataFrame:
         .select("subject", "predicate", "object")
         .distinct()
     )
+
+
+def q_entity_link(spark: SparkSession, sf: str) -> DataFrame:
+    from kgx_spark.pipeline.link import detect_mentions, link_mentions
+    from kgx_spark.pipeline.synth import synth_alias_dict
+
+    pages = extract_text(synth_pages(spark, sf))
+    linked = link_mentions(detect_mentions(pages), synth_alias_dict(spark, sf))
+    return linked.select("url", "mention", "curie").distinct()
 
 
 # ---------------------------------------------------------------- contract
@@ -372,12 +414,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_jaccard_pairs,
         "simhash": q_simhash,
         "ann_topk_cosine": q_topk_cosine,
+        "embedding_near_dup": q_embedding_near_dup,
+        "events_window_agg": q_events_window,
+        "sessionize": q_sessionize,
         "language_id": q_langid,
         "quality_score": q_quality,
         "token_count": q_token_counts,
         "doc_fingerprint": q_fingerprint,
         "extract_text": q_extract_text,
         "pipeline_triples": q_pipeline_triples,
+        "entity_link": q_entity_link,
     }
 
 
@@ -630,6 +676,54 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             ) WHERE rank <= 5
         """,
+        "embedding_near_dup": """
+            WITH base AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 25 = 0
+            ),
+            qz AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+                FROM base
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(round(list_dot_product(a.v, b.v)
+                        / sqrt(CAST(list_dot_product(a.v, a.v) AS DOUBLE)
+                               * CAST(list_dot_product(b.v, b.v) AS DOUBLE)) * 1000000) AS BIGINT) AS cos_1e6
+            FROM qz a, qz b
+            WHERE a.vec_id < b.vec_id
+              AND round(list_dot_product(a.v, b.v)
+                  / sqrt(CAST(list_dot_product(a.v, a.v) AS DOUBLE)
+                         * CAST(list_dot_product(b.v, b.v) AS DOUBLE)) * 1000000) >= 990000
+        """,
+        "events_window_agg": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type,
+                   count(*)::BIGINT AS n_events,
+                   sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_value_1e2
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionize": """
+            WITH ordered AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sid AS (
+                SELECT user_id, ts,
+                       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                              ROWS UNBOUNDED PRECEDING) AS session_seq
+                FROM ordered
+            )
+            SELECT user_id, session_seq::BIGINT AS session_seq,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   count(*)::BIGINT AS n_events
+            FROM sid GROUP BY user_id, session_seq
+        """,
         "language_id": _LANGID_SQL,
         "quality_score": _QUALITY_SQL,
         "token_count": f"""
@@ -645,6 +739,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "extract_text": _EXTRACT_SQL,
+        "entity_link": _ENTITY_LINK_SQL,
         "pipeline_triples": """
             SELECT DISTINCT 'P:' || l_partkey AS subject,
                    CASE WHEN l_linenumber % 2 = 0 THEN 'biolink:related_to'
@@ -713,6 +808,71 @@ _QUALITY_SQL = f"""
                (length(text) - len(ws) + 1) * 1000.0 / len(ws))::BIGINT
                 ELSE 0 END AS mean_word_len_1000
     FROM toks
+"""
+
+_ENTITY_LINK_SQL = """
+    WITH n AS (SELECT count(*) AS n_docs FROM documents),
+    facts AS (
+        SELECT (l_orderkey % n_docs) AS doc_id,
+               'P:' || l_partkey ||
+               CASE WHEN l_linenumber % 2 = 0 THEN ' is related to ' ELSE ' interacts with ' END ||
+               'S:' || l_suppkey || '.' AS sentence
+        FROM lineitem, n
+        UNION ALL
+        SELECT (l_orderkey % n_docs),
+               'Q:' || l_partkey || ' same as P:' || l_partkey || '. R:' || l_partkey ||
+               ' same as Q:' || l_partkey || '.'
+        FROM lineitem, n WHERE l_linenumber = 1
+        UNION ALL
+        SELECT (p_partkey % n_docs),
+               'the part ' || p_name || ' is mentioned here.'
+        FROM part, n
+    ),
+    fact_text AS (
+        SELECT doc_id, string_agg(sentence, ' ' ORDER BY sentence) AS ft
+        FROM facts GROUP BY doc_id
+    ),
+    pages AS (
+        SELECT 'https://corpus.example.org/page/' || d.doc_id AS url,
+               CASE WHEN ft IS NULL THEN d.text ELSE d.text || ' ' || ft END AS txt
+        FROM documents d LEFT JOIN fact_text USING (doc_id)
+    ),
+    toks AS (
+        SELECT url, list_filter(string_split_regex(lower(trim(txt)), '\\s+'), w -> w <> '') AS ws
+        FROM pages
+    ),
+    words AS (
+        SELECT url, i AS pos, ws[i] AS w0,
+               CASE WHEN i + 1 <= len(ws) THEN ws[i + 1] END AS w1,
+               CASE WHEN i + 2 <= len(ws) THEN ws[i + 2] END AS w2
+        FROM toks, LATERAL unnest(generate_series(1, len(ws))) AS t(i)
+    ),
+    mentions AS (
+        SELECT url, pos, w0 AS mention FROM words
+        UNION ALL
+        SELECT url, pos, w0 || ' ' || w1 FROM words WHERE w1 IS NOT NULL
+        UNION ALL
+        SELECT url, pos, w0 || ' ' || w1 || ' ' || w2 FROM words WHERE w2 IS NOT NULL
+    ),
+    dict AS (
+        SELECT lower(p_name) AS mention, 'P:' || p_partkey AS curie,
+               1.0::DOUBLE / (1.0::DOUBLE + (p_partkey % 7)::DOUBLE) AS prior
+        FROM part
+    ),
+    hits AS (SELECT m.url, m.pos, m.mention, d.curie, d.prior
+             FROM mentions m JOIN dict d USING (mention)),
+    dfreq AS (SELECT mention, count(DISTINCT url) AS df FROM hits GROUP BY mention),
+    scored AS (
+        SELECT h.url, h.pos, h.mention, h.curie,
+               h.prior * ln(((SELECT count(DISTINCT url) FROM mentions) + 1.0)::DOUBLE
+                            / (f.df + 1.0)::DOUBLE) AS score
+        FROM hits h JOIN dfreq f USING (mention)
+    )
+    SELECT DISTINCT url, mention, curie FROM (
+        SELECT *, row_number() OVER (PARTITION BY url, pos
+                                     ORDER BY score DESC, curie ASC) AS rn
+        FROM scored
+    ) WHERE rn = 1
 """
 
 _EXTRACT_SQL = """

@@ -118,6 +118,47 @@ def quantized_topk(
     )
 
 
+def embedding_near_dups(
+    vectors: DataFrame,
+    threshold_1e6: int = 990_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    planes: int = 4,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_1e6) with
+    cos ≥ threshold, id_a < id_b.
+
+    exact=False (scale path): candidates restricted to same-LSH-bucket pairs
+    (near-identical vectors collide in every table with overwhelming
+    probability), then verified with the quantized exact cosine.
+    exact=True: full quadratic verification — the oracle-checkable baseline.
+    """
+    q = vectors.select(F.col(id_col).alias("id_a"), quantize(F.col(vec_col)).alias("_a"),
+                       F.col(vec_col).alias("_ra"))
+    c = vectors.select(F.col(id_col).alias("id_b"), quantize(F.col(vec_col)).alias("_b"),
+                       F.col(vec_col).alias("_rb"))
+    if exact:
+        pairs = q.crossJoin(c)
+    else:
+        d = dim or len(vectors.select(vec_col).first()[0])
+        qb = q.withColumn("_bucket", lsh_bucket(F.col("_ra"), d, planes))
+        cb = c.withColumn("_bucket", lsh_bucket(F.col("_rb"), d, planes))
+        pairs = qb.join(cb, on="_bucket")
+    dot = F.aggregate(F.zip_with(F.col("_a"), F.col("_b"), lambda x, y: x * y),
+                      F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+    sq = lambda col: F.aggregate(F.transform(col, lambda x: x * x),  # noqa: E731
+                                 F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+    cos = F.round(dot / F.sqrt(sq(F.col("_a")).cast("double") * sq(F.col("_b")).cast("double")) * 1e6, 0).cast("bigint")
+    return (
+        pairs.where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos_1e6"))
+        .where(F.col("cos_1e6") >= threshold_1e6)
+        .distinct()
+    )
+
+
 def _hyperplane(plane: int, dim: int) -> list[float]:
     """Deterministic pseudo-random ±1 hyperplane from md5 parity (no RNG)."""
     import hashlib

@@ -57,6 +57,30 @@ def partition_lineage(df: DataFrame, stage: str) -> DataFrame:
     )
 
 
+def snapshot_lineage(path: str, stage: str) -> list[dict]:
+    """Per-FILE lineage for a committed parquet snapshot, read from parquet
+    footers driver-side (no Spark job, no data scan — row counts live in the
+    file metadata, exactly like Iceberg's per-file manifest stats)."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for i, f in enumerate(sorted(_glob.glob(_os.path.join(path, "*.parquet")))):
+        md = pq.ParquetFile(f).metadata
+        out.append(
+            {
+                "stage": stage,
+                "partition_id": i,
+                "file": _os.path.basename(f),
+                "rows": md.num_rows,
+                "bytes": _os.path.getsize(f),
+            }
+        )
+    return out
+
+
 def append_metrics(workdir: str, record: dict) -> None:
     """Metrics table: JSONL appended atomically per stage commit (the local
     stand-in for an Iceberg metrics table append)."""
@@ -96,7 +120,7 @@ def run_stages(
         wall = time.monotonic() - t0
         lineage_rows = []
         if lineage:
-            lineage_rows = [r.asDict() for r in partition_lineage(committed, stage.name).collect()]
+            lineage_rows = snapshot_lineage(out_path, stage.name)
         rows = sum(r["rows"] for r in lineage_rows) if lineage_rows else committed.count()
         append_metrics(
             workdir,

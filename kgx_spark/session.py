@@ -45,6 +45,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Shuffle/spill directory: a cluster has many local SSDs; this sandbox has
+    # one slow virtio disk. SPARK_GRAFT_LOCAL_DIR=/dev/shm moves shuffle files
+    # to RAM for benchmarking (the 128 GiB box absorbs our shuffle volumes).
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

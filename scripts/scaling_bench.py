@@ -59,13 +59,14 @@ def main() -> None:
     runs = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     n4 = n * 4
 
-    def best(cores: int) -> dict:
-        # min wall over `runs` fresh-JVM executions — suppresses VM jitter
-        results = [run_once(sf_dir, cores, repeat) for _ in range(runs)]
-        return min(results, key=lambda r: r["wall_sec"])
-
-    rn = best(n)
-    rn4 = best(n4)
+    # interleave configs (N, 4N, N, 4N, …) so transient host-CPU bursts on
+    # this shared VM can't bias one config; take the min (least-disturbed) run
+    results: dict[int, list[dict]] = {n: [], n4: []}
+    for _ in range(runs):
+        for cores in (n, n4):
+            results[cores].append(run_once(sf_dir, cores, repeat))
+    rn = min(results[n], key=lambda r: r["wall_sec"])
+    rn4 = min(results[n4], key=lambda r: r["wall_sec"])
     eff = (rn4["triples_per_sec"] / rn["triples_per_sec"]) / 4
     print(json.dumps({
         "sf": sf_dir,

@@ -11,12 +11,16 @@ from kgx_spark.operators.clique import (
 )
 
 
-def test_connected_components_chain(spark):
-    # multi-hop chain a-b-c-d plus disjoint pair x-y
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("driver_threshold", [2_000_000, 0], ids=["union-find", "hash-min"])
+def test_connected_components_chain(spark, driver_threshold):
+    # multi-hop chain a-b-c-d plus disjoint pair x-y — both physical paths
     pairs = spark.createDataFrame(
         [("b", "a"), ("b", "c"), ("c", "d"), ("x", "y")], "src string, dst string"
     )
-    labels, iters = connected_components(pairs)
+    labels, iters = connected_components(pairs, driver_threshold=driver_threshold)
     comp = {r["id"]: r["component"] for r in labels.collect()}
     assert comp["a"] == comp["b"] == comp["c"] == comp["d"] == "a"
     assert comp["x"] == comp["y"] == "x"
@@ -24,15 +28,28 @@ def test_connected_components_chain(spark):
 
 
 def test_connected_components_large_random(spark):
-    # ring of 64 → single component, exercises multi-iteration convergence
+    # ring of 64 → single component; forces the distributed hash-min path
+    # and its multi-iteration convergence
     n = 64
     pairs = spark.range(n).selectExpr(
         "format_string('N:%03d', id) as src",
         f"format_string('N:%03d', (id + 1) % {n}) as dst",
     )
-    labels, iters = connected_components(pairs)
+    labels, iters = connected_components(pairs, driver_threshold=0)
     assert labels.select("component").distinct().count() == 1
     assert labels.count() == n
+    assert iters > 1
+
+
+def test_cc_paths_agree(spark):
+    # both strategies produce identical labelings on a random-ish graph
+    pairs = spark.range(200).selectExpr(
+        "format_string('V:%03d', id) as src",
+        "format_string('V:%03d', (id * 7) % 150) as dst",
+    ).where("src != dst")
+    a, _ = connected_components(pairs, driver_threshold=1_000_000)
+    b, _ = connected_components(pairs, driver_threshold=0)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
 @pytest.fixture()
