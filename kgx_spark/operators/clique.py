@@ -186,11 +186,36 @@ def elect_leaders(
     return leaders
 
 
+def clique_category(members: DataFrame, nodes: DataFrame) -> DataFrame:
+    """(component, clique_category): the MOST SPECIFIC category among clique
+    members (clique_merge.py:474-499, 600-620 — reference sorts candidate
+    categories by Biolink-ancestor count; here specificity comes from the
+    broadcast closure table, never a library call on executors)."""
+    from pyspark.sql import Window as W
+
+    from kgx_spark.functions.biolink import specificity_table
+
+    spec = specificity_table(members.sparkSession)
+    cats = (
+        members.join(nodes.select("id", "category"), on="id")
+        .select("component", F.explode("category").alias("category"))
+        .join(F.broadcast(spec), on="category", how="left")
+        .withColumn("depth", F.coalesce("depth", F.lit(0)))
+    )
+    w = W.partitionBy("component").orderBy(F.col("depth").desc(), F.col("category").asc())
+    return (
+        cats.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("component", F.col("category").alias("clique_category"))
+    )
+
+
 def clique_merge(
     nodes: DataFrame,
     edges: DataFrame,
     prefix_priority: list[str] | None = None,
     leader_annotation: str | None = None,
+    update_categories: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """→ (canonical nodes, re-pointed edges, member→leader mapping).
 
@@ -240,6 +265,25 @@ def clique_merge(
     )
     n = nodes.join(b, on="id", how="left_anti")  # drop non-leader members
     n = n.join(F.broadcast(members_per_leader), on="id", how="left")
+    if update_categories and "category" in nodes.columns:
+        # stamp the clique's most-specific category onto the leader
+        # (clique_merge.py:388-499 update_node_categories + get_clique_category)
+        cc = clique_category(leader_map, nodes)
+        leader_cc = (
+            leader_map.where(F.col("id") == F.col("leader"))
+            .join(cc, on="component")
+            .select(F.col("leader").alias("id"), "clique_category")
+        )
+        n = n.join(F.broadcast(leader_cc), on="id", how="left")
+        n = n.withColumn(
+            "category",
+            F.when(
+                F.col("clique_category").isNotNull(),
+                F.array_sort(F.array_distinct(F.concat(
+                    F.coalesce(F.col("category"), F.array()), F.array(F.col("clique_category"))
+                ))),
+            ).otherwise(F.col("category")),
+        ).drop("clique_category")
     if "same_as" in n.columns:
         n = n.withColumn(
             "same_as",

@@ -61,6 +61,18 @@ def read_source(spark: SparkSession, input_args: dict[str, Any]) -> Graph:
         from kgx_spark.sources.trapi import read_trapi
 
         nodes, edges = read_trapi(spark, path)
+    elif fmt == "owl":
+        from kgx_spark.sources.owl_source import read_owl
+
+        nodes, edges = read_owl(spark, path)
+    elif fmt == "duckdb":
+        from kgx_spark.sources.duckdb_source import read_duckdb
+
+        nodes, edges = read_duckdb(
+            spark, path,
+            node_filters=input_args.get("node_filters"),
+            edge_filters=input_args.get("edge_filters"),
+        )
     else:
         raise ValueError(f"unknown source format: {fmt}")
 
@@ -135,6 +147,10 @@ def write_sink(nodes: DataFrame | None, edges: DataFrame | None, output_args: di
         from kgx_spark.sinks.trapi import write_trapi
 
         write_trapi(nodes, edges, path)
+    elif fmt in ("sql", "sqlite"):
+        from kgx_spark.sinks.sql_sink import write_sql
+
+        write_sql(nodes, edges, path)
     elif fmt == "null":
         # NullSink (kgx/sink/null_sink.py): force evaluation, discard
         for df in (nodes, edges):
