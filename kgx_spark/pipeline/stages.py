@@ -141,11 +141,14 @@ def run_stages(
 
 def salted_repartition(df: DataFrame, key: str, num_partitions: int, salt_buckets: int = 8) -> DataFrame:
     """Skew-aware partitioning for materialization: partition by
-    (hash(key) mod N, salt) so hub keys (hot CURIE prefixes / predicates)
-    split across ``salt_buckets`` partitions instead of hot-spotting one.
-    The salt column is derived (crc32 of the full row key), not random —
-    deterministic output layout."""
+    (key, salt) so hub keys (hot CURIE prefixes / predicates) split across
+    up to ``salt_buckets`` partitions instead of hot-spotting one.
+
+    The salt is xxhash64 over the FULL ROW (not the key — a key-derived salt
+    is constant within the hot group and spreads nothing), so it is
+    deterministic: same input rows → same layout, no RNG.
+    """
     salted = df.withColumn(
-        "_salt", (F.crc32(F.coalesce(F.col(key).cast("string"), F.lit(""))) % salt_buckets).cast("int")
+        "_salt", (F.abs(F.xxhash64(F.struct(*[F.col(c) for c in df.columns]))) % salt_buckets).cast("int")
     )
     return salted.repartition(num_partitions, F.col(key), F.col("_salt")).drop("_salt")

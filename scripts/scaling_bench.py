@@ -47,7 +47,14 @@ def run_once(sf_dir: str, cores: int, repeat: int) -> dict:
             cmd += ["--repeat-input", str(repeat)]
         out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, timeout=3600)
         line = out.stdout.strip().splitlines()[-1]
-        return json.loads(line)
+        result = json.loads(line)
+        metrics_path = Path(workdir) / "metrics.jsonl"
+        if metrics_path.exists():
+            result["stage_walls"] = {
+                m["stage"]: m["wall_sec"]
+                for m in (json.loads(ln) for ln in metrics_path.read_text().splitlines() if ln.strip())
+            }
+        return result
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -67,6 +74,8 @@ def main() -> None:
             results[cores].append(run_once(sf_dir, cores, repeat))
     rn = min(results[n], key=lambda r: r["wall_sec"])
     rn4 = min(results[n4], key=lambda r: r["wall_sec"])
+    print(json.dumps({"diag_stage_walls": {f"local{n}": rn.get("stage_walls"),
+                                           f"local{n4}": rn4.get("stage_walls")}}))
     eff = (rn4["triples_per_sec"] / rn["triples_per_sec"]) / 4
     print(json.dumps({
         "sf": sf_dir,
