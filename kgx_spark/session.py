@@ -42,6 +42,13 @@ def get_spark(
         # don't let AQE coalesce below core count on small-but-CPU-heavy
         # shuffles (local data is MBs; default 1m floor halved parallelism)
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
+        # collect_list/collect_set aggregates (the merge kernel) run as
+        # ObjectHashAggregate, which falls back to SORT-based aggregation
+        # after a default of only 128 keys — the fallback external-sorts
+        # every map task's input (measured 3-4× stage slowdowns, variance
+        # from spill behavior). KG merges group on (s,p,o) with ~1e6 keys
+        # per task and small per-key state; keep them in the hash path.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
