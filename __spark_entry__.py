@@ -145,6 +145,12 @@ def q_spo_category(spark: SparkSession, sf: str) -> DataFrame:
     return count_by_spo_category(FX.edges(spark, sf), _both_nodes(spark, sf))
 
 
+def q_facet_counts(spark: SparkSession, sf: str) -> DataFrame:
+    from kgx_spark.operators.summary import facet_counts
+
+    return facet_counts(FX.edges(spark, sf), "predicate", facet="provided_by")
+
+
 def q_meta_nodes(spark: SparkSession, sf: str) -> DataFrame:
     return meta_node_stats(_both_nodes(spark, sf)).select(
         "category", F.array_join("id_prefixes", "|").alias("id_prefixes"), "count"
@@ -395,6 +401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_by_id_prefix": q_count_by_id_prefix,
         "count_by_predicate": q_count_by_predicate,
         "spo_category_counts": q_spo_category,
+        "facet_counts": q_facet_counts,
         "meta_kg_nodes": q_meta_nodes,
         "meta_kg_edges": q_meta_edges,
         "validator_report": q_validator_report,
@@ -494,6 +501,10 @@ def oracle_sql() -> dict[str, str]:
                 JOIN part ON l_partkey = p_partkey
                 JOIN supplier ON l_suppkey = s_suppkey
             ) GROUP BY 1, 2, 3
+        """,
+        "facet_counts": f"""
+            SELECT predicate, pb AS provided_by, count(*)::BIGINT AS count
+            FROM ({_EDGES_SQL}) GROUP BY 1, 2
         """,
         "meta_kg_nodes": f"""
             SELECT category,

@@ -35,8 +35,13 @@ _DROP_SUBTREES = re.compile(
 )
 _TAGS = re.compile(r"(?s)<[^>]+>")
 _WS = re.compile(r"\s+")
-_ENTITIES = [("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
-             ("&#39;", "'"), ("&nbsp;", " "), ("&copy;", "©")]
+_ENTITY_MAP = {"&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"',
+               "&#39;": "'", "&nbsp;": " ", "&copy;": "©"}
+_ENTITY_RX = re.compile("|".join(re.escape(k) for k in _ENTITY_MAP))
+
+
+def _decode_entities(s: str) -> str:
+    return _ENTITY_RX.sub(lambda m: _ENTITY_MAP[m.group(0)], s)
 
 
 def extract_text_bytes(html: bytes | None) -> str | None:
@@ -46,19 +51,17 @@ def extract_text_bytes(html: bytes | None) -> str | None:
     s = html.decode("utf-8", errors="replace")
     s = _DROP_SUBTREES.sub(" ", s)
     s = _TAGS.sub(" ", s)
-    for ent, ch in _ENTITIES:
-        s = s.replace(ent, ch)
+    s = _decode_entities(s)
     return _WS.sub(" ", s).strip()
 
 
 @pandas_udf(StringType())
 def _extract_udf(html: pd.Series) -> pd.Series:
-    # vectorized over the Arrow batch; .str ops run in C where possible
+    # vectorized over the Arrow batch; one pass per rule, entities fused
     s = html.str.decode("utf-8", errors="replace")
     s = s.str.replace(_DROP_SUBTREES, " ", regex=True)
     s = s.str.replace(_TAGS, " ", regex=True)
-    for ent, ch in _ENTITIES:
-        s = s.str.replace(ent, ch, regex=False)
+    s = s.str.replace(_ENTITY_RX, lambda m: _ENTITY_MAP[m.group(0)], regex=True)
     return s.str.replace(_WS, " ", regex=True).str.strip()
 
 

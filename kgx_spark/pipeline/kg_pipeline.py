@@ -109,6 +109,36 @@ def build_stages(
     return stages
 
 
+def run_kg_pipeline_fused(
+    spark: SparkSession,
+    sf_dir: str,
+    outdir: str,
+    pages_df: DataFrame | None = None,
+    link_entities: bool = True,
+) -> dict[str, DataFrame]:
+    """One fused DAG: no intermediate snapshots, only the final nodes/edges
+    write. Trades kill-resume durability for zero checkpoint IO — the mode a
+    cluster uses for short jobs, and the measurement mode that isolates the
+    ENGINE's scaling from the per-stage commit floor (see BASELINE.md).
+
+    extract/edges_raw are cached: the canonicalization stage consumes
+    edges_raw twice (CC pair collection + re-pointing), and without a
+    snapshot that would recompute the extraction lineage.
+    """
+    stages = build_stages(sf_dir, pages_df=pages_df, link_entities=link_entities)
+    ctx: dict[str, DataFrame] = {}
+    for st in stages:
+        df = st.fn(spark, ctx)
+        if st.name in ("extract", "edges_raw"):
+            df = df.cache()
+        ctx[st.name] = df
+    ctx["edges"].write.mode("overwrite").parquet(f"{outdir}/edges.parquet")
+    ctx["nodes"].write.mode("overwrite").parquet(f"{outdir}/nodes.parquet")
+    ctx["edges"] = spark.read.parquet(f"{outdir}/edges.parquet")
+    ctx["nodes"] = spark.read.parquet(f"{outdir}/nodes.parquet")
+    return ctx
+
+
 def run_kg_pipeline(
     spark: SparkSession,
     sf_dir: str,

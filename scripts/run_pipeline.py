@@ -38,6 +38,8 @@ def main() -> None:
     ap.add_argument("--force", action="store_true", help="recompute even committed stages")
     ap.add_argument("--repeat-input", type=int, default=1,
                     help="replicate the page corpus N× (scaling experiments)")
+    ap.add_argument("--fused", action="store_true",
+                    help="single fused DAG, no intermediate snapshots (no resume)")
     args = ap.parse_args()
 
     spark = get_spark("kgx_pipeline", master=args.master)
@@ -55,10 +57,18 @@ def main() -> None:
         )
 
     t0 = time.monotonic()
-    ctx = run_kg_pipeline(
-        spark, args.sf_dir, args.workdir,
-        pages_df=pages_df, link_entities=not args.no_link, force=args.force,
-    )
+    if args.fused:
+        from kgx_spark.pipeline.kg_pipeline import run_kg_pipeline_fused
+
+        ctx = run_kg_pipeline_fused(
+            spark, args.sf_dir, args.workdir,
+            pages_df=pages_df, link_entities=not args.no_link,
+        )
+    else:
+        ctx = run_kg_pipeline(
+            spark, args.sf_dir, args.workdir,
+            pages_df=pages_df, link_entities=not args.no_link, force=args.force,
+        )
     wall = time.monotonic() - t0
     n_edges = ctx["edges"].count()
     print(json.dumps({
