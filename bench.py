@@ -102,7 +102,10 @@ def main() -> None:
 
     # 3. training-data operators
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    timed("minhash_lsh", lambda: _noop(lsh_candidate_pairs(docs, num_hashes=8, bands=4)))
+    # cap degenerate buckets: the synthetic word-soup corpus shares a tiny
+    # vocabulary, so uncapped banding goes quadratic on non-discriminative
+    # buckets (see dedup.lsh_candidate_pairs docstring)
+    timed("minhash_lsh", lambda: _noop(lsh_candidate_pairs(docs, num_hashes=8, bands=4, max_bucket_size=100)))
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") % 50 == 0)

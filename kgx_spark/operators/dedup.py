@@ -66,10 +66,18 @@ def lsh_candidate_pairs(
     text_col: str = "text",
     num_hashes: int = 8,
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidates: band signatures → bucket join →
     distinct (a < b) pairs. The shuffle unit is (band_key, id) — constant-size
-    per doc regardless of document length."""
+    per doc regardless of document length.
+
+    ``max_bucket_size`` drops buckets larger than the cap before the
+    self-join (standard at-scale hygiene: a bucket shared by k docs emits
+    k² pairs, and giant buckets on boilerplate-heavy corpora are
+    non-discriminative anyway). None = exact banding (the oracle-checked
+    default).
+    """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes)
     band_cols = []
@@ -81,6 +89,14 @@ def lsh_candidate_pairs(
     banded = sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_bucket_size is not None:
+        small = (
+            banded.groupBy("band", "key")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") <= max_bucket_size)
+            .select("band", "key")
+        )
+        banded = banded.join(small, on=["band", "key"], how="left_semi")
     a = banded.withColumnRenamed(id_col, "doc_a")
     b = banded.withColumnRenamed(id_col, "doc_b")
     return (

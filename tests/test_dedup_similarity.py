@@ -53,6 +53,11 @@ def test_minhash_and_lsh(spark, docs):
     planted = {(r["doc_id"], r["doc_id"] + 100000) for r in docs.limit(5).collect()}
     got = {(r["doc_a"], r["doc_b"]) for r in cands.collect()}
     assert planted <= got
+    # bucket-size cap only ever removes pairs, never invents them
+    capped = lsh_candidate_pairs(both, num_hashes=8, bands=4, max_bucket_size=3)
+    got_capped = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert got_capped <= got
+    assert len(got_capped) < len(got)
 
 
 def test_jaccard_pairs(spark, docs):
