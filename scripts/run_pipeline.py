@@ -71,13 +71,20 @@ def main() -> None:
         )
     wall = time.monotonic() - t0
     n_edges = ctx["edges"].count()
-    print(json.dumps({
+    result = {
         "edges": n_edges,
         "wall_sec": round(wall, 2),
         "triples_per_sec": round(n_edges / wall, 1),
         "master": spark.sparkContext.master,
         "workdir": args.workdir,
-    }))
+    }
+    if args.repeat_input == 1 and args.no_link:
+        # P/R vs the corpus's embedded ground truth (north-rule gate ≥0.95)
+        from kgx_spark.pipeline.eval import expected_triples_for_synth, triple_pr
+
+        pr = triple_pr(ctx["edges"], expected_triples_for_synth(spark, args.sf_dir))
+        result["triple_pr"] = {"precision": pr["precision"], "recall": pr["recall"]}
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
