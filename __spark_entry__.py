@@ -330,6 +330,20 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    from kgx_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    out = asof_join(purchases, clicks, key="user_id", ts="ts", value_cols=["event_id"])
+    return out.select(
+        "event_id", "user_id",
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.col("event_id_right").alias("last_click_event_id"),
+    )
+
+
 def q_langid(spark: SparkSession, sf: str) -> DataFrame:
     return _docs(spark, sf).select("doc_id", detect_language(F.col("text")).alias("lang_pred"))
 
@@ -424,6 +438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "events_window_agg": q_events_window,
         "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
         "language_id": q_langid,
         "quality_score": q_quality,
         "token_count": q_token_counts,
@@ -734,6 +749,14 @@ def oracle_sql() -> dict[str, str]:
                    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
                    count(*)::BIGINT AS n_events
             FROM sid GROUP BY user_id, session_seq
+        """,
+        "asof_join": """
+            SELECT l.event_id AS event_id, l.user_id AS user_id,
+                   strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                   r.event_id AS last_click_event_id
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "language_id": _LANGID_SQL,
         "quality_score": _QUALITY_SQL,
