@@ -114,6 +114,32 @@ def test_json_sink(spark, tmp_path):
     assert nodes2.count() == 1 and edges2.count() == 1
 
 
+def test_cli_merge_yaml(spark, tsv_dir, tmp_path, capsys):
+    import yaml
+
+    from kgx_spark.__main__ import main
+
+    d2 = tmp_path / "b"
+    d2.mkdir()
+    (d2 / "h_nodes.tsv").write_text("id\tname\tcategory\nHGNC:1\tg1b\tbiolink:NamedThing\n")
+    (d2 / "h_edges.tsv").write_text("subject\tpredicate\tobject\nMONDO:1\tbiolink:related_to\tHGNC:1\n")
+    cfg = {
+        "configuration": {
+            "sources": {
+                "a": {"input": {"format": "tsv", "filename": str(tsv_dir)}},
+                "b": {"input": {"format": "tsv", "filename": str(d2)}},
+            }
+        },
+        "destination": {"out": {"format": "jsonl", "filename": str(tmp_path / "m" / "g")}},
+    }
+    cfg_path = tmp_path / "merge.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    rc = main(["merge", "--config", str(cfg_path)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"nodes": 3, "edges": 3}
+
+
 def test_cli_transform_and_summary(spark, tsv_dir, tmp_path, capsys):
     from kgx_spark.__main__ import main
 
