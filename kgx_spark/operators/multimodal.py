@@ -90,6 +90,47 @@ def decode_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
     return media.select("media_id", "kind", "content").mapInPandas(fn, out_schema)
 
 
+def _resize_stub(content: bytes | None, width: int, height: int) -> bytes | None:
+    """Deterministic fake 'resize'.
+
+    REAL IMPLEMENTATION REQUIRES PIL (not installed here). The fake re-keys
+    the bytes with the target dimensions (md5 chain to the byte budget of a
+    w×h thumbnail) so downstream size/bytes accounting and idempotence are
+    exercisable; the Spark-side plumbing (batching, metadata update) is real.
+    """
+    if content is None:
+        return None
+    budget = max(16, min(width * height // 64, 4096))
+    out = bytearray()
+    block = hashlib.md5(content + f"{width}x{height}".encode()).digest()
+    while len(out) < budget:
+        out.extend(block)
+        block = hashlib.md5(block).digest()
+    return bytes(out[:budget])
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """image rows → resized content + updated meta via mapInPandas
+    (same iterator-of-Arrow-batches plumbing as decode_features)."""
+    out_schema = media.schema
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            is_img = pdf["kind"] == "image"
+            pdf = pdf.copy()
+            pdf.loc[is_img, "content"] = pdf.loc[is_img, "content"].map(
+                lambda b: _resize_stub(b, width, height)
+            )
+            pdf["meta"] = pdf.apply(
+                lambda r: {**(r["meta"] or {}), "width": width, "height": height}
+                if r["kind"] == "image" else r["meta"],
+                axis=1,
+            )
+            yield pdf
+
+    return media.mapInPandas(fn, out_schema)
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """video rows → (media_id, frame_ts_ms) sample plan — pure column math on
     metadata (no decode): one row per sampled frame."""

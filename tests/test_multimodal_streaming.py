@@ -44,6 +44,20 @@ def test_frame_sample(spark):
     assert sorted(r["frame_ts_ms"] for r in rows) == [0, 1000, 2000, 3000]
 
 
+def test_resize_images(spark):
+    from kgx_spark.operators.multimodal import resize_images
+
+    out = resize_images(_media(spark), 32, 32)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert rows["m1"]["meta"]["width"] == 32 and rows["m1"]["meta"]["height"] == 32
+    assert rows["m1"]["content"] != b"\x89PNGfakebytes1"  # content transformed
+    assert rows["m3"]["meta"]["duration_ms"] == 3500  # non-images untouched
+    assert rows["m3"]["content"] == b"RIFFfakevideo"
+    # deterministic: same input → same resized bytes
+    out2 = {r["media_id"]: r["content"] for r in resize_images(_media(spark), 32, 32).collect()}
+    assert out2["m1"] == rows["m1"]["content"]
+
+
 def test_media_stats(spark):
     stats = {r["kind"]: r["n"] for r in media_stats(_media(spark)).collect()}
     assert stats == {"image": 2, "video": 1, "audio": 1}
