@@ -1,43 +1,100 @@
 """Biolink-Model knowledge as broadcastable data (no executor library calls).
 
 Reference: kgx/utils/kgx_utils.py:313-546 calls bmt.Toolkit per record for
-category/predicate validity and ancestors. SURVEY.md §7.0 mandates the Spark
-build precompute these as small tables and broadcast them.
+category/predicate validity and ancestors; clique_merge.py:388-499 sorts
+categories by ancestor count; validator.py:629-744 checks known-class /
+known-predicate / non-mixin. SURVEY.md §7.0 mandates the Spark build
+precompute these as small tables and broadcast them.
 
-The closure below is a snapshot of the common Biolink class hierarchy
-(sufficient for tests and the synthetic corpus; a deployment regenerates it
-from the model YAML with scripts — the shape, not the completeness, is the
-design point). Each entry lists ancestors from nearest to `NamedThing`.
+The class/mixin/predicate hierarchies live as plain data in
+``biolink_model.py`` (a snapshot of the public Biolink Model). This module
+derives the ancestor closures from the parent links at import time — the
+same information bmt.Toolkit resolves dynamically, shipped as a ~150-class
+broadcastable dict instead of a runtime library.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-# class → ancestors (nearest-first, excluding self)
+from kgx_spark.functions.biolink_model import (
+    CLASSES,
+    CONTEXT_PREFIXES,
+    MIXINS,
+    PREDICATES,
+    PREFIX_PRIORITY,
+    SLOT_TYPES,
+)
+
+_B = "biolink:"
+
+
+def _snake(name: str) -> str:
+    out = [name[0].lower()]
+    for ch in name[1:]:
+        if ch.isupper():
+            out.append("_")
+            out.append(ch.lower())
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _mixin_chain(mixin: str) -> list[str]:
+    """A mixin plus its is_a ancestors, nearest-first."""
+    chain, cur = [], mixin
+    while cur is not None and cur not in chain:
+        chain.append(cur)
+        cur = MIXINS.get(cur)
+    return chain
+
+
+def _class_ancestors(name: str) -> list[str]:
+    """Ancestors (excluding self), nearest-first: the is_a chain interleaved
+    with each class's mixins — the traversal bmt.Toolkit.get_ancestors
+    performs with mixin=True (kgx_utils.py:326-340 get_biolink_ancestors)."""
+    order: list[str] = []
+    seen: set[str] = {name}
+
+    def push(n: str) -> None:
+        if n not in seen:
+            seen.add(n)
+            order.append(n)
+
+    cur: str | None = name
+    while cur is not None:
+        parent, mixins = CLASSES[cur]
+        for m in mixins:
+            for mm in _mixin_chain(m):
+                push(mm)
+        if parent is not None:
+            push(parent)
+        cur = parent
+    return order
+
+
+def _predicate_ancestors(name: str) -> list[str]:
+    chain, cur, seen = [], PREDICATES.get(name), {name}
+    while cur is not None and cur not in seen:
+        chain.append(cur)
+        seen.add(cur)
+        cur = PREDICATES.get(cur)
+    return chain
+
+
+# class CURIE → ancestors (nearest-first, excluding self), mixins included
 CATEGORY_ANCESTORS: dict[str, list[str]] = {
-    "biolink:NamedThing": [],
-    "biolink:BiologicalEntity": ["biolink:NamedThing"],
-    "biolink:ChemicalEntity": ["biolink:NamedThing"],
-    "biolink:SmallMolecule": ["biolink:MolecularEntity", "biolink:ChemicalEntity", "biolink:NamedThing"],
-    "biolink:MolecularEntity": ["biolink:ChemicalEntity", "biolink:NamedThing"],
-    "biolink:Drug": ["biolink:ChemicalEntity", "biolink:NamedThing"],
-    "biolink:Gene": ["biolink:BiologicalEntity", "biolink:NamedThing"],
-    "biolink:Protein": ["biolink:BiologicalEntity", "biolink:NamedThing"],
-    "biolink:SequenceVariant": ["biolink:BiologicalEntity", "biolink:NamedThing"],
-    "biolink:Disease": ["biolink:DiseaseOrPhenotypicFeature", "biolink:BiologicalEntity", "biolink:NamedThing"],
-    "biolink:PhenotypicFeature": ["biolink:DiseaseOrPhenotypicFeature", "biolink:BiologicalEntity", "biolink:NamedThing"],
-    "biolink:DiseaseOrPhenotypicFeature": ["biolink:BiologicalEntity", "biolink:NamedThing"],
-    "biolink:OrganismTaxon": ["biolink:NamedThing"],
-    "biolink:Cell": ["biolink:AnatomicalEntity", "biolink:BiologicalEntity", "biolink:NamedThing"],
-    "biolink:AnatomicalEntity": ["biolink:BiologicalEntity", "biolink:NamedThing"],
-    "biolink:BiologicalProcess": ["biolink:BiologicalProcessOrActivity", "biolink:BiologicalEntity", "biolink:NamedThing"],
-    "biolink:MolecularActivity": ["biolink:BiologicalProcessOrActivity", "biolink:BiologicalEntity", "biolink:NamedThing"],
-    "biolink:BiologicalProcessOrActivity": ["biolink:BiologicalEntity", "biolink:NamedThing"],
-    "biolink:Pathway": ["biolink:BiologicalProcessOrActivity", "biolink:BiologicalEntity", "biolink:NamedThing"],
-    "biolink:OntologyClass": ["biolink:NamedThing"],
-    "biolink:InformationContentEntity": ["biolink:NamedThing"],
+    _B + c: [_B + a for a in _class_ancestors(c)] for c in CLASSES
 }
+
+# predicate CURIE → ancestors (nearest-first, excluding self)
+PREDICATE_ANCESTORS: dict[str, list[str]] = {
+    _B + _snake(p): [_B + _snake(a) for a in _predicate_ancestors(p)] for p in PREDICATES
+}
+
+KNOWN_CLASSES: frozenset[str] = frozenset(CATEGORY_ANCESTORS)
+KNOWN_MIXINS: frozenset[str] = frozenset(_B + m for m in MIXINS)
+KNOWN_PREDICATES: frozenset[str] = frozenset(PREDICATE_ANCESTORS)
 
 
 def ancestors_table(spark: SparkSession) -> DataFrame:
@@ -50,10 +107,41 @@ def ancestors_table(spark: SparkSession) -> DataFrame:
 
 
 def specificity_table(spark: SparkSession) -> DataFrame:
-    """(category, depth) — depth = ancestor count; higher = more specific.
-
-    Used for clique category election (clique_merge.py:474-499 sorts by
-    ancestor count to pick the most specific category).
-    """
+    """(category, depth) — depth = ancestor count (mixins included); higher =
+    more specific. Used for clique category election (clique_merge.py:474-499
+    sorts the category union by ancestor count)."""
     rows = [(cat, len(ancs)) for cat, ancs in CATEGORY_ANCESTORS.items()]
     return spark.createDataFrame(rows, "category string, depth int")
+
+
+def predicate_table(spark: SparkSession) -> DataFrame:
+    """(predicate, ancestor, distance) rows for predicate closures."""
+    rows = []
+    for pred, ancs in PREDICATE_ANCESTORS.items():
+        for d, a in enumerate(ancs, start=1):
+            rows.append((pred, a, d))
+    return spark.createDataFrame(rows, "predicate string, ancestor string, distance int")
+
+
+def slot_table(spark: SparkSession) -> DataFrame:
+    """(slot, typeof, multivalued) — the validator type battery's broadcast
+    side (reference gets this from bmt element metadata, validator.py:402-458)."""
+    rows = [(slot, t, mv) for slot, (t, mv) in SLOT_TYPES.items()]
+    return spark.createDataFrame(rows, "slot string, typeof string, multivalued boolean")
+
+
+def prefix_priority(category: str) -> list[str]:
+    """Per-class id-prefix ranking (kgx_utils.py:419-438), falling back up the
+    is_a chain so e.g. biolink:Snv inherits SequenceVariant's prefixes."""
+    if category in PREFIX_PRIORITY:
+        return PREFIX_PRIORITY[category]
+    for anc in CATEGORY_ANCESTORS.get(category, []):
+        if anc in PREFIX_PRIORITY:
+            return PREFIX_PRIORITY[anc]
+    return []
+
+
+def context_prefixes() -> frozenset[str]:
+    """Prefixes registered in the Biolink JSON-LD context (the validator's
+    prefix-vs-context check, validator.py:560-585)."""
+    return CONTEXT_PREFIXES

@@ -3,16 +3,22 @@
 Reference: kgx/validator.py:26-745
 - required node properties (id, category) / edge properties
   (subject, predicate, object, knowledge_level, agent_type): 332-401
-- value-shape checks: id is CURIE (560-585), category CamelCase CURIE +
-  known class (629-684), predicate snake_case CURIE (686-744)
+- property value TYPES per Biolink slot metadata (string/double/uriorcurie,
+  multivalued-ness): 402-558
+- value-shape checks: id is CURIE + prefix in JSON-LD context (560-585),
+  category CamelCase CURIE + known class + non-mixin (629-684), predicate
+  snake_case CURIE + known predicate (686-744)
 - errors aggregated [level][error_type][message] → [entities]
   (kgx/error_detection.py:48-174)
 
 Spark design: each rule is a where() producing rows of the shared errors
 schema (entity, level, error_type, message); rules union into one errors
-DataFrame; the report is a groupBy collect_list. "Known Biolink class" checks
-use a broadcast snapshot table (no runtime bmt.Toolkit on executors —
-SURVEY.md §7.0).
+DataFrame; the report is a groupBy collect_list. All Biolink knowledge
+(known classes/predicates/mixins, slot types, context prefixes) comes from
+the precomputed model snapshot in kgx_spark.functions.biolink — no runtime
+bmt.Toolkit on executors (SURVEY.md §7.0). Type checks that the reference
+performs per-value on Python dicts become schema checks (a DataFrame column
+has ONE type) plus per-value shape checks for uriorcurie slots.
 """
 
 from __future__ import annotations
@@ -20,21 +26,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kgx_spark.functions.biolink import (
+    KNOWN_CLASSES,
+    KNOWN_MIXINS,
+    KNOWN_PREDICATES,
+    SLOT_TYPES,
+    context_prefixes,
+)
 from kgx_spark.functions.curie import CURIE_REGEX
 
-# Snapshot of common Biolink classes/predicates for known-ness checks
-# (the reference queries bmt.Toolkit per record — validator.py:629-684; we
-# broadcast a precomputed set; callers may pass their own full snapshot).
-KNOWN_CATEGORIES = frozenset(
-    {
-        "biolink:NamedThing", "biolink:Gene", "biolink:Protein", "biolink:Disease",
-        "biolink:PhenotypicFeature", "biolink:ChemicalEntity", "biolink:Drug",
-        "biolink:OrganismTaxon", "biolink:BiologicalProcess", "biolink:MolecularActivity",
-        "biolink:AnatomicalEntity", "biolink:Cell", "biolink:Pathway",
-        "biolink:SmallMolecule", "biolink:SequenceVariant", "biolink:OntologyClass",
-        "biolink:BiologicalProcessOrActivity", "biolink:InformationContentEntity",
-    }
-)
+# Back-compat alias: callers may pass their own snapshot.
+KNOWN_CATEGORIES = KNOWN_CLASSES
 
 REQUIRED_NODE_PROPERTIES = ("id", "category")  # validator.py:332-355
 REQUIRED_EDGE_PROPERTIES = ("subject", "predicate", "object")  # validator.py:357-401
@@ -42,16 +44,85 @@ REQUIRED_EDGE_PROPERTIES = ("subject", "predicate", "object")  # validator.py:35
 _ERR_SCHEMA = "entity string, level string, error_type string, message string"
 
 
-def _emit(df: DataFrame, cond: Column, entity: Column, level: str, error_type: str, message: str) -> DataFrame:
+def _emit(
+    df: DataFrame, cond: Column, entity: Column, level: str, error_type: str, message
+) -> DataFrame:
+    msg = message if isinstance(message, Column) else F.lit(message)
     return df.where(cond).select(
         entity.alias("entity"),
         F.lit(level).alias("level"),
         F.lit(error_type).alias("error_type"),
-        F.lit(message).alias("message"),
+        msg.alias("message"),
     )
 
 
-def validate_node_records(nodes: DataFrame, known_categories: frozenset[str] = KNOWN_CATEGORIES) -> DataFrame:
+def _is_uri_or_curie(col: Column) -> Column:
+    """uriorcurie shape: CURIE regex or an http(s) URL (the reference accepts
+    str CURIEs and validators.url URLs — validator.py:437-441)."""
+    return col.rlike(CURIE_REGEX) | col.startswith("http://") | col.startswith("https://")
+
+
+def validate_property_types(df: DataFrame, kind: str = "node") -> DataFrame:
+    """The type battery (validator.py:402-558), Spark-shaped.
+
+    For every column matching a known Biolink slot:
+    - multivalued slots must be array columns; single-valued must not be
+      (the reference checks isinstance(value, list) per record — here the
+      column type decides, and a mismatch errors every non-null row);
+    - `double` slots must hold numeric values (non-castable strings error);
+    - `uriorcurie` slots must hold CURIE- or URL-shaped values (per element
+      for arrays).
+    """
+    spark = df.sparkSession
+    out = spark.createDataFrame([], _ERR_SCHEMA)
+    if kind == "node":
+        ent = F.coalesce(F.col("id"), F.lit("<no id>"))
+        error_type = "INVALID_NODE_PROPERTY_VALUE_TYPE"
+    else:
+        ent = F.concat_ws(
+            "->", F.coalesce(F.col("subject"), F.lit("")), F.coalesce(F.col("object"), F.lit(""))
+        )
+        error_type = "INVALID_EDGE_PROPERTY_VALUE_TYPE"
+
+    dtypes = dict(df.dtypes)
+    for col in df.columns:
+        if col not in SLOT_TYPES or col in ("id", "subject", "object"):
+            continue
+        typeof, multivalued = SLOT_TYPES[col]
+        is_array = dtypes[col].startswith("array")
+        c = F.col(col)
+        if multivalued and not is_array:
+            out = out.unionByName(_emit(
+                df, c.isNotNull(), ent, "ERROR", error_type,
+                f"Multi-valued {kind} property '{col}' is expected to be of type 'list'"))
+            continue
+        if not multivalued and is_array:
+            out = out.unionByName(_emit(
+                df, c.isNotNull(), ent, "ERROR", error_type,
+                f"Single-valued {kind} property '{col}' is expected to be of type 'str'"))
+            continue
+        if typeof == "double" and not is_array:
+            bad = c.isNotNull() & c.cast("double").isNull()
+            out = out.unionByName(_emit(
+                df, bad, ent, "ERROR", error_type,
+                f"{kind.capitalize()} property '{col}' is expected to be of type 'double'"))
+        elif typeof == "uriorcurie":
+            if is_array:
+                bad = F.exists(c, lambda x: ~_is_uri_or_curie(x))
+            else:
+                bad = c.isNotNull() & ~_is_uri_or_curie(c)
+            out = out.unionByName(_emit(
+                df, bad, ent, "ERROR", error_type,
+                f"{kind.capitalize()} property '{col}' is expected to be of type 'uri' or 'CURIE'"))
+    return out
+
+
+def validate_node_records(
+    nodes: DataFrame,
+    known_categories: frozenset[str] = KNOWN_CLASSES,
+    check_types: bool = False,
+    check_prefixes: bool = False,
+) -> DataFrame:
     """→ errors DataFrame; empty when the graph is valid."""
     spark = nodes.sparkSession
     out = spark.createDataFrame([], _ERR_SCHEMA)
@@ -73,6 +144,20 @@ def validate_node_records(nodes: DataFrame, known_categories: frozenset[str] = K
     out = out.unionByName(_emit(nodes, F.col("id").isNotNull() & ~F.col("id").rlike(CURIE_REGEX),
                                 ent, "ERROR", "INVALID_NODE_PROPERTY_VALUE", "Node `id` is not a CURIE"))
 
+    if check_prefixes:
+        # CURIE prefix must be registered in the Biolink JSON-LD context
+        # (validator.py:573-585) — broadcastable literal set, message carries
+        # the offending prefix like the reference's per-node message.
+        prefix = F.split_part("id", F.lit(":"), F.lit(1))
+        known_prefix = F.array_contains(
+            F.array(*[F.lit(p) for p in sorted(context_prefixes())]), prefix
+        )
+        out = out.unionByName(_emit(
+            nodes, F.col("id").isNotNull() & F.col("id").rlike(CURIE_REGEX) & ~known_prefix,
+            ent, "ERROR", "INVALID_NODE_PROPERTY_VALUE",
+            F.concat(F.lit("Node `id` has a CURIE prefix '"), prefix,
+                     F.lit("' that is not represented in Biolink Model JSON-LD context"))))
+
     if "category" in nodes.columns:
         cats = nodes.select(ent.alias("_ent"), F.explode("category").alias("cat"))
         # CamelCase CURIE shape (validator.py:629-650)
@@ -84,10 +169,22 @@ def validate_node_records(nodes: DataFrame, known_categories: frozenset[str] = K
         out = out.unionByName(_emit(cats, ~F.array_contains(known, F.col("cat")),
                                     F.col("_ent"), "WARNING", "UNKNOWN_CATEGORY",
                                     "Category is not a known biolink class"))
+        # mixin-as-category check (validator.py:660-668: categories must not
+        # be mixins)
+        mixins = F.array(*[F.lit(m) for m in sorted(KNOWN_MIXINS)])
+        out = out.unionByName(_emit(cats, F.array_contains(mixins, F.col("cat")),
+                                    F.col("_ent"), "ERROR", "INVALID_CATEGORY",
+                                    "Category is a mixin, not a class"))
+    if check_types:
+        out = out.unionByName(validate_property_types(nodes, "node"))
     return out
 
 
-def validate_edge_records(edges: DataFrame) -> DataFrame:
+def validate_edge_records(
+    edges: DataFrame,
+    known_predicates: frozenset[str] = KNOWN_PREDICATES,
+    check_types: bool = False,
+) -> DataFrame:
     spark = edges.sparkSession
     out = spark.createDataFrame([], _ERR_SCHEMA)
     ent = F.concat_ws("-", F.coalesce(F.col("subject"), F.lit("")),
@@ -114,7 +211,22 @@ def validate_edge_records(edges: DataFrame) -> DataFrame:
                                     & ~F.col("predicate").rlike(r"^biolink:[a-z][a-z_]*$"),
                                     ent, "ERROR", "INVALID_EDGE_PREDICATE",
                                     "Predicate is not in snake_case biolink CURIE form"))
+        # known-predicate check (validator.py:706-744)
+        known = F.array(*[F.lit(p) for p in sorted(known_predicates)])
+        out = out.unionByName(_emit(
+            edges,
+            F.col("predicate").isNotNull()
+            & F.col("predicate").rlike(r"^biolink:[a-z][a-z_]*$")
+            & ~F.array_contains(known, F.col("predicate")),
+            ent, "WARNING", "UNKNOWN_EDGE_PREDICATE",
+            "Predicate is not a known biolink predicate"))
+    if check_types:
+        out = out.unionByName(validate_edge_records_types(edges))
     return out
+
+
+def validate_edge_records_types(edges: DataFrame) -> DataFrame:
+    return validate_property_types(edges, "edge")
 
 
 def error_report(errors: DataFrame) -> DataFrame:

@@ -56,8 +56,12 @@ def build_stages(
 
     def s_linked(spark: SparkSession, ctx: dict) -> DataFrame:
         alias_dict = synth_alias_dict(spark, sf_dir)
+        # page count from the (snapshotted/cached, html-free) extract table —
+        # NOT derived inside link_mentions, which would execute the n-gram
+        # explode twice (once for the count, once for the linking plan).
+        n_pages = ctx["extract"].count()
         mentions = detect_mentions(ctx["extract"])
-        return link_mentions(mentions, alias_dict)
+        return link_mentions(mentions, alias_dict, n_pages=n_pages)
 
     def s_edges_raw(spark: SparkSession, ctx: dict) -> DataFrame:
         triples = ctx["triples"]
@@ -75,7 +79,11 @@ def build_stages(
             .distinct()
             .withColumn("category", F.array(F.lit("biolink:NamedThing")))
         )
-        _, canon_edges, _ = clique_merge(node_ids, edges, prefix_priority=PREFIX_PRIORITY)
+        # dedupe_edges=False: the next stage runs merge_edges anyway — one
+        # (s,p,o) shuffle for the whole pipeline, not two.
+        _, canon_edges, _ = clique_merge(
+            node_ids, edges, prefix_priority=PREFIX_PRIORITY, dedupe_edges=False
+        )
         return canon_edges
 
     def s_edges(spark: SparkSession, ctx: dict) -> DataFrame:
