@@ -264,6 +264,84 @@ def q_edge_keys(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ----- round-2: full Biolink model surfaces -----
+
+
+def _election_classes() -> list[str]:
+    from kgx_spark.functions.biolink import CATEGORY_ANCESTORS
+
+    return sorted(CATEGORY_ANCESTORS)
+
+
+def q_category_election(spark: SparkSession, sf: str) -> DataFrame:
+    """Clique category election across the FULL model snapshot (133 classes;
+    clique_merge.py:388-499 semantics: most-specific category by ancestor
+    count, tie → alphabetical, stamped onto the leader)."""
+    cls = _election_classes()
+    n = len(cls)
+    cls_arr = F.array(*[F.lit(c) for c in cls])
+    part = spark.read.parquet(f"{sf}/part.parquet")
+    k = F.col("p_partkey")
+    leader_nodes = part.select(
+        F.concat(F.lit("P:"), k).alias("id"),
+        F.array(F.element_at(cls_arr, (k % n + 1).cast("int"))).alias("category"),
+        F.lit(None).cast("array<string>").alias("same_as"),
+    )
+    member_nodes = part.select(
+        F.concat(F.lit("X:"), k).alias("id"),
+        F.array(F.element_at(cls_arr, ((k * 7) % n + 1).cast("int"))).alias("category"),
+        F.array(F.concat(F.lit("P:"), k)).alias("same_as"),
+    )
+    nodes = leader_nodes.unionByName(member_nodes)
+    empty_edges = spark.createDataFrame([], "subject string, predicate string, object string")
+    out, _, _ = clique_merge(nodes, empty_edges, prefix_priority=["P", "X"], update_categories=True)
+    return out.select("id", _joined("category"), _joined("same_as"))
+
+
+def q_validator_battery(spark: SparkSession, sf: str) -> DataFrame:
+    """The validator type battery (validator.py:402-458) + prefix-vs-context
+    (560-585): multivalued-slot-as-scalar, bad uriorcurie elements, CURIE
+    prefix not in the Biolink JSON-LD context."""
+    part = spark.read.parquet(f"{sf}/part.parquet")
+    k = F.col("p_partkey")
+    nodes = part.select(
+        F.when(k % 11 == 0, F.concat(F.lit("FOO:"), k))
+        .otherwise(F.concat(F.lit("HGNC:"), k)).alias("id"),
+        F.array(F.lit("biolink:Gene")).alias("category"),
+        F.lit("infores:part").alias("provided_by"),  # scalar in a multivalued slot
+        F.when(k % 3 == 0, F.array(F.lit("not a curie")))
+        .otherwise(F.array(F.concat(F.lit("HGNC:"), k))).alias("xref"),
+    )
+    rep = error_report(validate_node_records(nodes, check_types=True, check_prefixes=True))
+    return rep.select("level", "error_type", "message", "count")
+
+
+def q_validator_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Edge predicate battery (validator.py:686-744): snake_case shape errors
+    + known-predicate warnings against the full predicate snapshot."""
+    from kgx_spark.operators.validator import validate_edge_records
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    ln = F.col("l_linenumber")
+    edges = li.select(
+        F.concat(F.lit("P:"), "l_partkey").alias("subject"),
+        F.when(ln % 5 == 0, "biolink:frobnicates")   # shape-valid, unknown
+        .when(ln % 7 == 0, "has part")               # not a biolink CURIE
+        .otherwise("biolink:related_to").alias("predicate"),
+        F.concat(F.lit("S:"), "l_suppkey").alias("object"),
+    )
+    rep = error_report(validate_edge_records(edges))
+    return rep.select("level", "error_type", "message", "count")
+
+
+def q_meta_source_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Meta-KG count_by_source (meta_knowledge_graph.py:400-445,535-600):
+    per-category counts faceted on provided_by."""
+    from kgx_spark.operators.meta_kg import meta_node_count_by_source
+
+    return meta_node_count_by_source(_both_nodes(spark, sf))
+
+
 # ----- training-data / document operators -----
 
 
@@ -398,6 +476,32 @@ def q_entity_link(spark: SparkSession, sf: str) -> DataFrame:
     return linked.select("url", "mention", "curie").distinct()
 
 
+def _election_oracle_sql() -> str:
+    """Closed-form oracle for the category election: the specificity depths
+    come from the SAME snapshot (biolink_model.py) the Spark side broadcasts,
+    re-materialized as a VALUES table so DuckDB replays the election."""
+    from kgx_spark.functions.biolink import CATEGORY_ANCESTORS
+
+    cls = sorted(CATEGORY_ANCESTORS)
+    n = len(cls)
+    rows = ", ".join(f"({i}, '{c}', {len(CATEGORY_ANCESTORS[c])})" for i, c in enumerate(cls))
+    return f"""
+        WITH cls AS (SELECT * FROM (VALUES {rows}) AS t(idx, category, depth)),
+        pairs AS (
+            SELECT p_partkey AS k, c1.category AS c1, c1.depth AS d1,
+                   c2.category AS c2, c2.depth AS d2
+            FROM part
+            JOIN cls c1 ON c1.idx = p_partkey % {n}
+            JOIN cls c2 ON c2.idx = (p_partkey * 7) % {n}
+        )
+        SELECT 'P:' || k AS id,
+               array_to_string(list_sort(list_distinct([c1,
+                   CASE WHEN d2 > d1 OR (d2 = d1 AND c2 < c1) THEN c2 ELSE c1 END])), '|') AS category,
+               'X:' || k AS same_as
+        FROM pairs
+    """
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -430,6 +534,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_singletons": q_remove_singletons,
         "remap_node_identifier": q_remap_identifier,
         "clique_canonicalize": q_clique_canonicalize,
+        "biolink_category_election": q_category_election,
+        "validator_type_battery": q_validator_battery,
+        "validator_edge_report": q_validator_edges,
+        "meta_kg_source_counts": q_meta_source_counts,
         "infores_rewrite": q_infores,
         "curie_roundtrip": q_curie_roundtrip,
         "sanitize_split": q_sanitize_split,
@@ -605,6 +713,42 @@ def oracle_sql() -> dict[str, str]:
                    'biolink:related_to' AS predicate,
                    'S:' || l_suppkey AS object
             FROM lineitem
+        """,
+        "biolink_category_election": _election_oracle_sql(),
+        "validator_type_battery": """
+            SELECT * FROM (
+                SELECT 'ERROR' AS level, 'INVALID_NODE_PROPERTY_VALUE' AS error_type,
+                       'Node `id` has a CURIE prefix ''FOO'' that is not represented in Biolink Model JSON-LD context' AS message,
+                       (SELECT count(*) FROM part WHERE p_partkey % 11 = 0)::BIGINT AS count
+                UNION ALL
+                SELECT 'ERROR', 'INVALID_NODE_PROPERTY_VALUE_TYPE',
+                       'Multi-valued node property ''provided_by'' is expected to be of type ''list''',
+                       (SELECT count(*) FROM part)::BIGINT
+                UNION ALL
+                SELECT 'ERROR', 'INVALID_NODE_PROPERTY_VALUE_TYPE',
+                       'Node property ''xref'' is expected to be of type ''uri'' or ''CURIE''',
+                       (SELECT count(*) FROM part WHERE p_partkey % 3 = 0)::BIGINT
+            ) WHERE count > 0
+        """,
+        "validator_edge_report": """
+            SELECT * FROM (
+                SELECT 'ERROR' AS level, 'INVALID_EDGE_PREDICATE' AS error_type,
+                       'Predicate is not in snake_case biolink CURIE form' AS message,
+                       (SELECT count(*) FROM lineitem
+                        WHERE l_linenumber % 5 <> 0 AND l_linenumber % 7 = 0)::BIGINT AS count
+                UNION ALL
+                SELECT 'WARNING', 'UNKNOWN_EDGE_PREDICATE',
+                       'Predicate is not a known biolink predicate',
+                       (SELECT count(*) FROM lineitem WHERE l_linenumber % 5 = 0)::BIGINT
+            ) WHERE count > 0
+        """,
+        "meta_kg_source_counts": f"""
+            SELECT category, source, count(*)::BIGINT AS count FROM (
+                SELECT unnest([{_PART_CAT_SQL}, 'biolink:NamedThing']) AS category,
+                       'infores:part' AS source FROM part
+                UNION ALL
+                SELECT {_SUPP_CAT_SQL}, 'infores:supplier' FROM supplier
+            ) GROUP BY 1, 2
         """,
         "infores_rewrite": """
             SELECT source_name,

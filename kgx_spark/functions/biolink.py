@@ -64,11 +64,13 @@ def _class_ancestors(name: str) -> list[str]:
     cur: str | None = name
     while cur is not None:
         parent, mixins = CLASSES[cur]
+        # the is_a parent is the primary nearest ancestor; the class's own
+        # mixins follow it, then the walk continues up the is_a chain
+        if parent is not None:
+            push(parent)
         for m in mixins:
             for mm in _mixin_chain(m):
                 push(mm)
-        if parent is not None:
-            push(parent)
         cur = parent
     return order
 

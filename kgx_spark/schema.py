@@ -111,10 +111,14 @@ PAGES_SCHEMA = T.StructType(
     ]
 )
 
-# Deterministic output column order for TSV export
-# (kgx/sink/tsv_sink.py:162-238: core first, then sorted, '_'-internal last).
-NODE_CORE_ORDER = ["id", "category", "name", "description"]
-EDGE_CORE_ORDER = ["id", "subject", "predicate", "object", "relation", "category"]
+# Deterministic output column order for TSV export — the reference's exact
+# OrderedSet contents (kgx/sink/tsv_sink.py:179-182 _order_node_columns,
+# 216-225 _order_edge_columns: core first, then sorted, '_'-internal last).
+NODE_CORE_ORDER = [
+    "id", "category", "name", "description", "xref", "provided_by", "synonym",
+    "exact_synonym", "broad_synonym", "narrow_synonym", "related_synonym",
+]
+EDGE_CORE_ORDER = ["id", "subject", "predicate", "object", "category", "relation", "provided_by"]
 
 
 def is_multivalued(column: str) -> bool:

@@ -11,7 +11,11 @@ and exact golden-file comparison.
 
 from __future__ import annotations
 
+import glob
 import os
+import shutil
+import tarfile
+import tempfile
 
 from pyspark.sql import DataFrame
 
@@ -40,8 +44,52 @@ def write_kgx_tsv(
     base_path: str,
     fmt: str = "tsv",
     single_file: bool = False,
+    compression: str | None = None,
 ) -> None:
+    """Write `{base}_nodes.{fmt}` / `{base}_edges.{fmt}`; with
+    ``compression`` in {'tar', 'tar.gz', 'tar.bz2'}, package both tables into
+    `{base}.{compression}` with `{basename}_nodes.{fmt}` member names
+    (kgx/sink/tsv_sink.py:110-160 finalize)."""
+    if compression in ("tar", "tar.gz", "tar.bz2"):
+        _write_tar(nodes, edges, base_path, fmt, compression)
+        return
     if nodes is not None:
         _write(nodes, os.path.join(base_path + f"_nodes.{fmt}"), NODE_CORE_ORDER, fmt, single_file)
     if edges is not None:
         _write(edges, os.path.join(base_path + f"_edges.{fmt}"), EDGE_CORE_ORDER, fmt, single_file)
+
+
+def _write_tar(
+    nodes: DataFrame | None,
+    edges: DataFrame | None,
+    base_path: str,
+    fmt: str,
+    compression: str,
+) -> None:
+    """Tar/tar.gz/tar.bz2 packaging (tsv_sink.py:39-238).
+
+    An archive is a single sequential file, so packaging is inherently a
+    driver-side finalization: each table is written single-file (the
+    reference is single-file by construction), then the two part files are
+    added under the reference's member names. Production jobs wanting
+    distributed output use the plain directory mode; tar mode exists for
+    drop-in interchange with reference tooling.
+    """
+    mode = {"tar": "w", "tar.gz": "w:gz", "tar.bz2": "w:bz2"}[compression]
+    basename = os.path.basename(base_path)
+    tmp = tempfile.mkdtemp(prefix="kgx_tsv_tar_")
+    try:
+        members: list[tuple[str, str]] = []
+        for df, kind in ((nodes, "nodes"), (edges, "edges")):
+            if df is None:
+                continue
+            outdir = os.path.join(tmp, kind)
+            _write(df, outdir, NODE_CORE_ORDER if kind == "nodes" else EDGE_CORE_ORDER, fmt, True)
+            (part,) = glob.glob(os.path.join(outdir, "part-*"))
+            members.append((part, f"{basename}_{kind}.{fmt}"))
+        archive = f"{base_path}.{compression}"
+        with tarfile.open(archive, mode) as tf:
+            for part, name in members:
+                tf.add(part, arcname=name)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

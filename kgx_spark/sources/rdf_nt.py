@@ -25,8 +25,12 @@ from kgx_spark.functions.curie import contract
 from kgx_spark.functions.keys import generate_edge_identifiers
 from kgx_spark.operators.validate import validate_edges, validate_nodes
 
-# <s> <p> <o> .  |  <s> <p> "literal"(^^<dt>|@lang)? .
-_NT_RE = r'^<([^>]+)>\s+<([^>]+)>\s+(?:<([^>]+)>|"((?:[^"\\]|\\.)*)"(?:\^\^<[^>]+>|@[A-Za-z\-]+)?)\s*\.\s*$'
+# <s>|_:b <p> <o>|_:b|"literal"(^^<dt>|@lang)? .
+# groups: 1 s_iri, 2 s_bnode, 3 p, 4 o_iri, 5 o_bnode, 6 o_literal
+_NT_RE = (
+    r'^(?:<([^>]+)>|(_:\S+))\s+<([^>]+)>\s+'
+    r'(?:<([^>]+)>|(_:\S+)|"((?:[^"\\]|\\.)*)"(?:\^\^<[^>]+>|@[A-Za-z\-]+)?)\s*\.\s*$'
+)
 
 # node-property predicate IRIs → KGX property (rdf_source.py:64-90 property map)
 _NODE_PROPERTY_IRIS = {
@@ -45,18 +49,39 @@ _RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 _MULTIVALUED_NODE_PROPS = {"category", "provided_by", "same_as"}
 
 
-def parse_ntriples(spark: SparkSession, path: str) -> DataFrame:
-    """path → triples(subject_iri, predicate_iri, object_iri, object_literal)."""
+def parse_ntriples(spark: SparkSession, path: str, include_bnodes: bool = False) -> DataFrame:
+    """path → triples(subject_iri, predicate_iri, object_iri, object_literal).
+
+    Blank-node subjects/objects (`_:b…`) carry through in the iri columns
+    when ``include_bnodes=True`` (the OWL-in-NT reader needs restriction
+    stanzas); the default drops them — plain KGX NT has none
+    (rdf_source.py:223-328 likewise skips what it can't dispatch).
+    """
     lines = spark.read.text(path)
-    return (
-        lines.select(
-            F.regexp_extract("value", _NT_RE, 1).alias("subject_iri"),
-            F.regexp_extract("value", _NT_RE, 2).alias("predicate_iri"),
-            F.nullif(F.regexp_extract("value", _NT_RE, 3), F.lit("")).alias("object_iri"),
-            F.nullif(F.regexp_extract("value", _NT_RE, 4), F.lit("")).alias("object_literal"),
+    out = lines.select(
+        F.nullif(
+            F.coalesce(
+                F.nullif(F.regexp_extract("value", _NT_RE, 1), F.lit("")),
+                F.regexp_extract("value", _NT_RE, 2),
+            ),
+            F.lit(""),
+        ).alias("subject_iri"),
+        F.regexp_extract("value", _NT_RE, 3).alias("predicate_iri"),
+        F.nullif(
+            F.coalesce(
+                F.nullif(F.regexp_extract("value", _NT_RE, 4), F.lit("")),
+                F.regexp_extract("value", _NT_RE, 5),
+            ),
+            F.lit(""),
+        ).alias("object_iri"),
+        F.nullif(F.regexp_extract("value", _NT_RE, 6), F.lit("")).alias("object_literal"),
+    ).where(F.col("subject_iri").isNotNull())
+    if not include_bnodes:
+        out = out.where(
+            ~F.col("subject_iri").startswith("_:")
+            & (F.col("object_iri").isNull() | ~F.col("object_iri").startswith("_:"))
         )
-        .where(F.col("subject_iri") != "")
-    )
+    return out
 
 
 def read_ntriples(

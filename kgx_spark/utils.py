@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 BROADCAST_ROW_LIMIT = 200_000
 
 
-def conditional_broadcast(df: DataFrame, row_limit: int = BROADCAST_ROW_LIMIT) -> DataFrame:
+def conditional_broadcast(df: DataFrame, row_limit: int | None = None) -> DataFrame:
     """Broadcast-hint ``df`` only when it is provably small.
 
     A forced ``F.broadcast`` on a node-scale side (the node-category catalog,
@@ -23,6 +23,8 @@ def conditional_broadcast(df: DataFrame, row_limit: int = BROADCAST_ROW_LIMIT) -
     frame is returned unhinted and AQE decides (broadcast if runtime stats
     are small enough, shuffle join otherwise).
     """
+    if row_limit is None:
+        row_limit = BROADCAST_ROW_LIMIT
     if df.limit(row_limit + 1).count() <= row_limit:
         return F.broadcast(df)
     return df

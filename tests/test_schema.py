@@ -9,11 +9,24 @@ from kgx_spark.schema import (
 
 
 def test_node_column_ordering():
+    # mirrors _order_node_columns (tsv_sink.py:179-182): xref IS a core column
     cols = ["taxon", "name", "_private", "id", "category", "xref"]
     assert ordered_columns(cols, NODE_CORE_ORDER) == [
-        "id", "category", "name",  # core order first
-        "taxon", "xref",           # then sorted non-core
-        "_private",                # '_'-internal last
+        "id", "category", "name", "xref",  # reference core order first
+        "taxon",                           # then sorted non-core
+        "_private",                        # '_'-internal last
+    ]
+
+
+def test_core_order_matches_reference():
+    # the reference's exact OrderedSet contents (tsv_sink.py:179-182, 216-225)
+    assert NODE_CORE_ORDER == [
+        "id", "category", "name", "description", "xref", "provided_by",
+        "synonym", "exact_synonym", "broad_synonym", "narrow_synonym",
+        "related_synonym",
+    ]
+    assert EDGE_CORE_ORDER == [
+        "id", "subject", "predicate", "object", "category", "relation", "provided_by",
     ]
 
 
