@@ -342,6 +342,17 @@ def q_meta_source_counts(spark: SparkSession, sf: str) -> DataFrame:
     return meta_node_count_by_source(_both_nodes(spark, sf))
 
 
+def q_meta_edge_source_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Edge-side count_by_source: per-(subject_category, predicate,
+    object_category) counts faceted on knowledge source
+    (meta_knowledge_graph.py:488,519,535-600)."""
+    from kgx_spark.operators.meta_kg import meta_edge_count_by_source
+
+    return meta_edge_count_by_source(
+        FX.edges(spark, sf), _both_nodes(spark, sf), facet="provided_by"
+    )
+
+
 # ----- training-data / document operators -----
 
 
@@ -538,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validator_type_battery": q_validator_battery,
         "validator_edge_report": q_validator_edges,
         "meta_kg_source_counts": q_meta_source_counts,
+        "meta_kg_edge_source_counts": q_meta_edge_source_counts,
         "infores_rewrite": q_infores,
         "curie_roundtrip": q_curie_roundtrip,
         "sanitize_split": q_sanitize_split,
@@ -749,6 +761,19 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT {_SUPP_CAT_SQL}, 'infores:supplier' FROM supplier
             ) GROUP BY 1, 2
+        """,
+        "meta_kg_edge_source_counts": f"""
+            SELECT subject_category, predicate, object_category, source,
+                   count(*)::BIGINT AS count
+            FROM (
+                SELECT unnest([{_PART_CAT_SQL}, 'biolink:NamedThing']) AS subject_category,
+                       {_PRED_SQL} AS predicate,
+                       {_SUPP_CAT_SQL} AS object_category,
+                       'infores:' || lower(l_returnflag) AS source
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+            ) GROUP BY 1, 2, 3, 4
         """,
         "infores_rewrite": """
             SELECT source_name,

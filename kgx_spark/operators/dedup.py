@@ -126,14 +126,25 @@ def jaccard_pairs(
     sizes = ws.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = ws.withColumnRenamed(id_col, "doc_a")
     b = ws.withColumnRenamed(id_col, "doc_b")
-    inter = (
-        a.join(b, on="word")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, on=["doc_a", "doc_b"], how="left_semi")
+        # candidate-restricted path: NEVER materialize the word self-join —
+        # fan each candidate pair out by doc_a's words, keep the ones doc_b
+        # also has. Work is |candidates| × |words|, not |pairs-sharing-a-word|
+        # (the round-1 bench finding: the semi-join AFTER the self-join still
+        # paid the quadratic explode).
+        inter = (
+            candidates.join(a, on="doc_a")
+            .join(b, on=["doc_b", "word"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        inter = (
+            a.join(b, on="word")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter"))
+        )
     out = (
         inter.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sz", "sz_a"), on="doc_a")
         .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sz", "sz_b"), on="doc_b")

@@ -20,7 +20,7 @@ from kgx_spark.operators.merge import merge_edges, merge_nodes
 from kgx_spark.operators.validate import validate_edges, validate_nodes
 from kgx_spark.pipeline.extract import extract_text
 from kgx_spark.pipeline.link import detect_mentions, link_mentions, linked_mention_edges
-from kgx_spark.pipeline.stages import Stage, run_stages, salted_repartition
+from kgx_spark.pipeline.stages import Stage, run_stages
 from kgx_spark.pipeline.synth import synth_alias_dict, synth_pages
 from kgx_spark.pipeline.triples import extract_triples
 
@@ -89,7 +89,17 @@ def build_stages(
     def s_edges(spark: SparkSession, ctx: dict) -> DataFrame:
         merged = merge_edges([ctx["canonical"].drop("_original_subject", "_original_object")])
         merged = generate_edge_identifiers(merged)
-        return salted_repartition(merged, "subject", out_partitions)
+        # NO post-merge re-shuffle: the merge groupBy already leaves the data
+        # hash(s,p,o)-partitioned, which spreads a hub SUBJECT across
+        # partitions by (predicate, object) variation — strictly more
+        # skew-proof than re-concentrating it into salt_buckets files, and
+        # one full-data exchange cheaper (measured: the second exchange was
+        # the anti-scaling term in the materialize stage on the local box).
+        # salted_repartition (stages.py) remains the tool for PRE-aggregation
+        # materializations where one key genuinely owns many rows.
+        # Within-partition sort by subject keeps parquet RLE/dictionary
+        # compression and row-group skipping effective for subject lookups.
+        return merged.sortWithinPartitions("subject")
 
     def s_nodes(spark: SparkSession, ctx: dict) -> DataFrame:
         edges = ctx["edges"]
@@ -100,7 +110,9 @@ def build_stages(
         nodes = ids.withColumn("category", F.array(F.lit("biolink:NamedThing")))
         merged = merge_nodes([nodes])
         valid, _ = validate_nodes(merged)
-        return salted_repartition(valid, "id", out_partitions)
+        # post-merge rows are unique per id — hash(id) layout is already
+        # uniform; salting would only add an exchange (see s_edges note)
+        return valid.sortWithinPartitions("id")
 
     stages = [
         Stage("extract", s_extract),

@@ -31,22 +31,30 @@ def _lit_str(col):
 
 
 def _node_triples(nodes: DataFrame) -> DataFrame:
+    from kgx_spark.functions.biolink import SLOT_TYPES
+
     rows = []
     for field in nodes.schema.fields:
         if field.name == "id":
             continue
         pred = F.lit(f"<{_BIOLINK}{field.name}>")
+        # uriorcurie-typed slots (category, xref, same_as, …) serialize as
+        # resources, everything else as string literals — the reference
+        # resolves this per property via get_type_for_property
+        # (kgx_utils.py:509-546) inside rdf_sink's _prepare_object
+        is_resource = SLOT_TYPES.get(field.name, ("string", False))[0] == "uriorcurie"
+        fmt = _iri if is_resource else _lit_str
         if isinstance(field.dataType, T.ArrayType):
             val = F.explode(F.col(field.name))
             rows.append(
                 nodes.where(F.col(field.name).isNotNull())
                 .select(F.col("id"), val.alias("v"))
-                .select(F.concat_ws(" ", _iri(F.col("id")), pred, _lit_str(F.col("v")), F.lit(".")).alias("value"))
+                .select(F.concat_ws(" ", _iri(F.col("id")), pred, fmt(F.col("v")), F.lit(".")).alias("value"))
             )
         else:
             rows.append(
                 nodes.where(F.col(field.name).isNotNull())
-                .select(F.concat_ws(" ", _iri(F.col("id")), pred, _lit_str(F.col(field.name)), F.lit(".")).alias("value"))
+                .select(F.concat_ws(" ", _iri(F.col("id")), pred, fmt(F.col(field.name)), F.lit(".")).alias("value"))
             )
     out = rows[0]
     for r in rows[1:]:

@@ -65,6 +65,12 @@ def read_source(spark: SparkSession, input_args: dict[str, Any]) -> Graph:
         from kgx_spark.sources.owl_source import read_owl
 
         nodes, edges = read_owl(spark, path)
+    elif fmt == "owl:nt":
+        # OWL serialized as N-Triples: the distributed, rdflib-free path
+        # (restriction unpacking — owl_source.py:117-157 semantics)
+        from kgx_spark.sources.owl_nt import read_owl_nt
+
+        nodes, edges = read_owl_nt(spark, path)
     elif fmt == "duckdb":
         from kgx_spark.sources.duckdb_source import read_duckdb
 

@@ -150,3 +150,21 @@ def test_fingerprint_order_invariant(spark):
     rows = {r["doc_id"]: r["fp"] for r in df.select("doc_id", fingerprint(F.col("text")).alias("fp")).collect()}
     assert rows[1] == rows[2]
     assert rows[1] != rows[3]
+
+
+def test_jaccard_candidate_restricted_matches_exact(spark, docs):
+    """The candidate-restricted path must agree with the exact path on every
+    pair the candidate set contains (the LSH → verify composition)."""
+    cands = lsh_candidate_pairs(docs, num_hashes=8, bands=4)
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_1000"]
+        for r in jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    restricted = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_1000"]
+        for r in jaccard_pairs(docs, threshold=0.8, candidates=cands).collect()
+    }
+    cand_set = {(r["doc_a"], r["doc_b"]) for r in cands.collect()}
+    # restricted ⊆ exact, values equal, and covers exactly exact ∩ candidates
+    assert restricted == {k: v for k, v in exact.items() if k in cand_set}
+    assert len(restricted) > 0
