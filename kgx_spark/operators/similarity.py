@@ -17,6 +17,8 @@ Scores are returned ×1e6 as bigint (cross-engine float exactness).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
@@ -178,6 +180,35 @@ def lsh_bucket(vec: Column, dim: int, planes: int = 8, plane_offset: int = 0) ->
     return F.concat(*bits)
 
 
+def lsh_buckets_all(vec: Column, dim: int, planes: int, tables: int) -> Column:
+    """ALL table buckets in one pass: array<bigint>, element t = table t's
+    bucket (sign bits packed into an int).
+
+    One Arrow-batched numpy matmul — (batch × dim) @ (dim × planes·tables) —
+    replaces planes·tables interpreted `F.aggregate` higher-order calls per
+    row (the per-plane Column expression blew up to 10s of FIXED overhead on
+    a 2k-vector corpus; this is the sanctioned Pandas-UDF case: a dense
+    linear-algebra kernel the built-in expression language can't vectorize).
+    Hyperplanes are the same deterministic md5-parity ±1 vectors as
+    ``lsh_bucket``, so bucket SEMANTICS (sign pattern per table) match."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    h = np.array(
+        [_hyperplane(p, dim) for p in range(planes * tables)], dtype=np.float64
+    )  # (T*P, dim)
+    pow2 = 2 ** np.arange(planes, dtype=np.int64)
+
+    @pandas_udf("array<bigint>")
+    def _buckets(v: pd.Series) -> pd.Series:
+        m = np.vstack(v.to_numpy()).astype(np.float64)  # (batch, dim)
+        signs = (m @ h.T) >= 0  # (batch, T*P)
+        packed = signs.reshape(len(m), tables, planes).astype(np.int64) @ pow2  # (batch, T)
+        return pd.Series(list(packed))
+
+    return _buckets(vec)
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -197,15 +228,10 @@ def lsh_topk(
     """
 
     def bucketed(df: DataFrame, idc: str, vc: str) -> DataFrame:
-        buckets = F.array(*[
-            F.struct(
-                F.lit(t).alias("table"),
-                lsh_bucket(F.col(vc), dim, planes, plane_offset=t * planes).alias("bucket"),
-            )
-            for t in range(tables)
-        ])
-        return df.select(F.col(idc), F.col(vc), F.explode(buckets).alias("tb")).select(
-            idc, vc, F.col("tb.table").alias("_table"), F.col("tb.bucket").alias("_bucket")
+        # one Arrow matmul for all tables, then posexplode → (table, bucket)
+        return df.select(
+            F.col(idc), F.col(vc),
+            F.posexplode(lsh_buckets_all(F.col(vc), dim, planes, tables)).alias("_table", "_bucket"),
         )
 
     q = bucketed(queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")), "query_id", "_qv")
