@@ -145,8 +145,10 @@ def embedding_near_dups(
         pairs = q.crossJoin(c)
     else:
         d = dim or len(vectors.select(vec_col).first()[0])
-        qb = q.withColumn("_bucket", lsh_bucket(F.col("_ra"), d, planes))
-        cb = c.withColumn("_bucket", lsh_bucket(F.col("_rb"), d, planes))
+        # single-table packed-int bucket via the vectorized matmul kernel
+        bucket = lambda col: F.element_at(lsh_buckets_all(col, d, planes, 1), 1)  # noqa: E731
+        qb = q.withColumn("_bucket", bucket(F.col("_ra")))
+        cb = c.withColumn("_bucket", bucket(F.col("_rb")))
         pairs = qb.join(cb, on="_bucket")
     dot = F.aggregate(F.zip_with(F.col("_a"), F.col("_b"), lambda x, y: x * y),
                       F.lit(0).cast("bigint"), lambda acc, v: acc + v)
