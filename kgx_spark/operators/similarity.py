@@ -268,22 +268,30 @@ def ivf_topk(
     At scale the anchor table is broadcast (n_cells × dim floats) and the
     corpus shuffles ONCE on cell id; queries probe a single cell.
     """
-    anchors = (
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    anchor_rows = (
         corpus.orderBy(id_col).limit(n_cells)
         .select(F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("_av"))
+        .collect()
     )
+    anchor_ids = np.array([r["anchor_id"] for r in anchor_rows], dtype=np.int64)
+    a = np.array([list(r["_av"]) for r in anchor_rows], dtype=np.float64)  # (cells, dim)
+    a_unit = a / np.linalg.norm(a, axis=1, keepdims=True)
+
+    @pandas_udf("bigint")
+    def _cell_of(v: pd.Series) -> pd.Series:
+        # one matmul argmax per Arrow batch: nearest anchor by cosine, ties
+        # to the lowest anchor id (anchors are sorted by id). Replaces a
+        # cells× crossJoin amplification + a per-vector window shuffle.
+        m = np.vstack(v.to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        best = np.argmax(m @ a_unit.T, axis=1)
+        return pd.Series(anchor_ids[best])
 
     def assign(df: DataFrame, idc: str, vc: str) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(anchors)).select(
-            F.col(idc), F.col(vc),
-            F.col("anchor_id"), cosine_1e6(F.col(vc), F.col("_av")).alias("_acos"),
-        )
-        w = Window.partitionBy(idc).orderBy(F.col("_acos").desc(), F.col("anchor_id").asc())
-        return (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select(F.col(idc), F.col(vc), F.col("anchor_id").alias("_cell"))
-        )
+        return df.select(F.col(idc), F.col(vc), _cell_of(F.col(vc)).alias("_cell"))
 
     q = assign(queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")), "query_id", "_qv")
     c = assign(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")), "neighbor_id", "_cv")

@@ -57,3 +57,26 @@ def test_merge_nodes_idempotent(spark, rows):
     a = {tuple(r) for r in once.collect()}
     b = {tuple(r) for r in twice.collect()}
     assert a == b  # merge is idempotent on already-merged input
+
+
+def test_distributed_cc_matches_union_find_random_graphs(spark):
+    """Distributed hash-min LP (with int encoding + pointer doubling) and the
+    driver union-find are the same function on seeded random pair sets."""
+    import random
+
+    from kgx_spark.operators.clique import _driver_union_find, connected_components
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 120
+        pairs = [
+            (f"V:{rng.randrange(n):03d}", f"V:{rng.randrange(n):03d}")
+            for _ in range(150)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        expected = dict(_driver_union_find(pairs))
+        df = spark.createDataFrame(pairs, "src string, dst string")
+        for encode in (True, False):
+            labels, _ = connected_components(df, driver_threshold=0, encode_ids=encode)
+            got = {r["id"]: r["component"] for r in labels.collect()}
+            assert got == expected, f"trial={trial} encode={encode}"
