@@ -353,6 +353,22 @@ def q_meta_edge_source_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_graph_ancestors(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-hop ancestor closure (graph_utils.py:57-126 BFS) over a
+    deterministic binary-tree hierarchy: P:k subclass_of P:(k div 2)."""
+    from kgx_spark.operators.traverse import get_ancestors
+
+    part = spark.read.parquet(f"{sf}/part.parquet")
+    k = F.col("p_partkey")
+    edges = part.where(k >= 2).select(
+        F.concat(F.lit("P:"), k).alias("subject"),
+        F.lit("biolink:subclass_of").alias("predicate"),
+        F.concat(F.lit("P:"), (k / 2).cast("bigint")).alias("object"),
+    )
+    node_ids = part.select(F.concat(F.lit("P:"), k).alias("id"))
+    return get_ancestors(edges, node_ids, max_hops=25)
+
+
 # ----- training-data / document operators -----
 
 
@@ -550,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validator_edge_report": q_validator_edges,
         "meta_kg_source_counts": q_meta_source_counts,
         "meta_kg_edge_source_counts": q_meta_edge_source_counts,
+        "graph_ancestors": q_graph_ancestors,
         "infores_rewrite": q_infores,
         "curie_roundtrip": q_curie_roundtrip,
         "sanitize_split": q_sanitize_split,
@@ -774,6 +791,21 @@ def oracle_sql() -> dict[str, str]:
                 JOIN part ON l_partkey = p_partkey
                 JOIN supplier ON l_suppkey = s_suppkey
             ) GROUP BY 1, 2, 3, 4
+        """,
+        "graph_ancestors": """
+            WITH RECURSIVE tree AS (
+                SELECT p_partkey AS ck, p_partkey // 2 AS pk
+                FROM part WHERE p_partkey >= 2
+            ),
+            anc AS (
+                SELECT ck AS start_k, pk AS anc_k, 1 AS hops FROM tree
+                UNION ALL
+                SELECT a.start_k, t.pk, a.hops + 1
+                FROM anc a JOIN tree t ON t.ck = a.anc_k
+            )
+            SELECT 'P:' || start_k AS id, 'P:' || anc_k AS ancestor,
+                   min(hops)::INT AS hops
+            FROM anc GROUP BY 1, 2
         """,
         "infores_rewrite": """
             SELECT source_name,
