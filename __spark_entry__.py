@@ -353,6 +353,73 @@ def q_meta_edge_source_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """The SCALE ANN path, hash-verified: hyperplane-LSH candidates (exact
+    integer sign bits) + quantized exact cosine ranking. Deterministic end to
+    end, so the DuckDB oracle replays buckets AND scores bit-for-bit."""
+    from kgx_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries_df = emb.where(F.col("vec_id") % 50 == 0)
+    return lsh_topk(queries_df, emb, dim=64, k=5, planes=8, tables=8, quantize_scores=True)
+
+
+def _lsh_oracle_sql(planes: int = 8, tables: int = 8, dim: int = 64, k: int = 5) -> str:
+    """Replays lsh_buckets_all + quantized cosine ranking in SQL: the
+    hyperplane snapshot is re-materialized as a VALUES table from the SAME
+    deterministic md5-parity generator the Spark side uses."""
+    from kgx_spark.operators.similarity import _hyperplane
+
+    rows = []
+    for t in range(tables):
+        for p in range(planes):
+            hp = _hyperplane(t * planes + p, dim)
+            rows.extend(f"({t},{p},{d + 1},{int(v)})" for d, v in enumerate(hp))
+    values = ",".join(rows)
+    return f"""
+        WITH h(tbl, plane, d, hv) AS (VALUES {values}),
+        qz AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+            FROM embeddings
+        ),
+        comps AS (
+            SELECT vec_id, i AS d, v[i] AS c
+            FROM qz, LATERAL unnest(generate_series(1, len(v))) AS t(i)
+        ),
+        signs AS (
+            SELECT c.vec_id, h.tbl, h.plane,
+                   CASE WHEN sum(c.c * h.hv) >= 0 THEN 1 ELSE 0 END AS bit
+            FROM comps c JOIN h ON h.d = c.d
+            GROUP BY 1, 2, 3
+        ),
+        buckets AS (
+            SELECT vec_id, tbl, sum(bit * (1::BIGINT << plane))::BIGINT AS bucket
+            FROM signs GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM buckets q JOIN buckets c ON q.tbl = c.tbl AND q.bucket = c.bucket
+            WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+        ),
+        scored AS (
+            SELECT cand.query_id, cand.neighbor_id,
+                   CAST(round(list_dot_product(a.v, b.v)
+                        / sqrt(CAST(list_dot_product(a.v, a.v) AS DOUBLE)
+                               * CAST(list_dot_product(b.v, b.v) AS DOUBLE)) * 1000000) AS BIGINT) AS cos_1e6
+            FROM cand
+            JOIN qz a ON a.vec_id = cand.query_id
+            JOIN qz b ON b.vec_id = cand.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cos_1e6, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_1e6 DESC, neighbor_id ASC
+            )::INT AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
 def q_graph_ancestors(spark: SparkSession, sf: str) -> DataFrame:
     """Multi-hop ancestor closure (graph_utils.py:57-126 BFS) over a
     deterministic binary-tree hierarchy: P:k subclass_of P:(k div 2)."""
@@ -567,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_kg_source_counts": q_meta_source_counts,
         "meta_kg_edge_source_counts": q_meta_edge_source_counts,
         "graph_ancestors": q_graph_ancestors,
+        "ann_topk_lsh": q_ann_lsh,
         "infores_rewrite": q_infores,
         "curie_roundtrip": q_curie_roundtrip,
         "sanitize_split": q_sanitize_split,
@@ -792,6 +860,7 @@ def oracle_sql() -> dict[str, str]:
                 JOIN supplier ON l_suppkey = s_suppkey
             ) GROUP BY 1, 2, 3, 4
         """,
+        "ann_topk_lsh": _lsh_oracle_sql(),
         "graph_ancestors": """
             WITH RECURSIVE tree AS (
                 SELECT p_partkey AS ck, p_partkey // 2 AS pk
