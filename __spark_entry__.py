@@ -463,6 +463,12 @@ def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return simhash(_docs(spark, sf), bits=16)
 
 
+def q_simhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    from kgx_spark.operators.dedup import simhash_near_dups
+
+    return simhash_near_dups(_docs(spark, sf), bits=16, bands=4, max_hamming=1)
+
+
 def q_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") % 50 == 0)
@@ -644,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidates": q_lsh_candidates,
         "ngram_jaccard": q_jaccard_pairs,
         "simhash": q_simhash,
+        "simhash_near_dup": q_simhash_near_dups,
         "ann_topk_cosine": q_topk_cosine,
         "embedding_near_dup": q_embedding_near_dup,
         "events_window_agg": q_events_window,
@@ -861,6 +868,34 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY 1, 2, 3, 4
         """,
         "ann_topk_lsh": _lsh_oracle_sql(),
+        "simhash_near_dup": f"""
+            {words_cte},
+            sigs AS (
+                SELECT doc_id, {" || ".join(
+                    f"(CASE WHEN sum((ascii(substr(md5(word), {i + 1}, 1)) % 2) * 2 - 1) > 0 "
+                    f"THEN '1' ELSE '0' END)" for i in range(16)
+                )} AS simhash
+                FROM words WHERE word <> '' GROUP BY doc_id
+            ),
+            banded AS (
+                SELECT doc_id, simhash, b AS band, substr(simhash, b * 4 + 1, 4) AS key
+                FROM sigs, LATERAL unnest(generate_series(0, 3)) AS t(b)
+            ),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.simhash AS sa, b.simhash AS sb
+                FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+                WHERE a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b, hamming FROM (
+                SELECT doc_a, doc_b,
+                       ({" + ".join(
+                           f"(CASE WHEN substr(sa, {i}, 1) <> substr(sb, {i}, 1) THEN 1 ELSE 0 END)"
+                           for i in range(1, 17)
+                       )})::INT AS hamming
+                FROM pairs
+            ) WHERE hamming <= 1
+        """,
         "graph_ancestors": """
             WITH RECURSIVE tree AS (
                 SELECT p_partkey AS ck, p_partkey // 2 AS pk

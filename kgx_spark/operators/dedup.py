@@ -174,3 +174,49 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     agg = ws.groupBy(id_col).agg(*votes)
     bit_exprs = [F.when(F.col(f"v{i}") > 0, "1").otherwise("0") for i in range(bits)]
     return agg.select(F.col(id_col), F.concat(*bit_exprs).alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: (doc_a, doc_b, hamming) with
+    hamming ≤ max_hamming.
+
+    The pairing step (the reference point for SimHash dedup — signatures
+    alone find nothing): signatures are cut into ``bands`` equal slices; by
+    pigeonhole, two signatures within hamming distance < bands must agree
+    EXACTLY on at least one slice, so candidates are same-slice pairs — a
+    constant-size (band, slice) shuffle key per doc, never all-pairs.
+    Verification counts differing bits across the full signature, JVM-side.
+    Exact (no false negatives) whenever max_hamming < bands.
+    """
+    width = bits // bands
+    assert bands * width == bits, "bits must divide evenly into bands"
+    sig = simhash(df, id_col, text_col, bits=bits)
+    banded = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(*[F.substring("simhash", b * width + 1, width) for b in range(bands)])
+        ).alias("band", "key"),
+    )
+    a = banded.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("_sa"), "band", "key")
+    b = banded.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("_sb"), "band", "key")
+    hamming = F.aggregate(
+        F.zip_with(F.split("_sa", ""), F.split("_sb", ""), lambda x, y: (x != y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, on=["band", "key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "_sa", "_sb")
+        .distinct()
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
