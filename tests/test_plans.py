@@ -127,3 +127,22 @@ def test_whole_stage_codegen_covers_hot_path(spark):
     p = plan_of(extract_triples(pages), "formatted")
     assert "codegen id" in p  # Generate + Project fused into WholeStageCodegen
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p  # no Python in this path
+
+
+def test_scale_dedup_paths_have_no_cartesian(spark):
+    """simhash_near_dups / lsh_topk / candidate-jaccard must join on bucket
+    keys — a CartesianProduct in any of these plans means the scale path
+    silently degraded to all-pairs."""
+    from kgx_spark.operators.dedup import jaccard_pairs, lsh_candidate_pairs, simhash_near_dups
+    from kgx_spark.operators.similarity import lsh_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plans = [
+        plan_of(simhash_near_dups(docs, max_hamming=1)),
+        plan_of(lsh_topk(emb.limit(50), emb, dim=64, k=3, planes=4, tables=2)),
+        plan_of(jaccard_pairs(docs, threshold=0.8,
+                              candidates=lsh_candidate_pairs(docs, num_hashes=4, bands=2))),
+    ]
+    for p in plans:
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
