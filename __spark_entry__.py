@@ -329,6 +329,9 @@ def q_validator_edges(spark: SparkSession, sf: str) -> DataFrame:
         .when(ln % 7 == 0, "has part")               # not a biolink CURIE
         .otherwise("biolink:related_to").alias("predicate"),
         F.concat(F.lit("S:"), "l_suppkey").alias("object"),
+        F.lit("knowledge_assertion").alias("knowledge_level"),
+        F.when(ln % 3 == 0, F.lit(None).cast("string"))
+        .otherwise("manual_agent").alias("agent_type"),  # missing on ln%3==0
     )
     rep = error_report(validate_edge_records(edges))
     return rep.select("level", "error_type", "message", "count")
@@ -844,6 +847,10 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'WARNING', 'UNKNOWN_EDGE_PREDICATE',
                        'Predicate is not a known biolink predicate',
                        (SELECT count(*) FROM lineitem WHERE l_linenumber % 5 = 0)::BIGINT
+                UNION ALL
+                SELECT 'ERROR', 'MISSING_EDGE_PROPERTY',
+                       'Required edge property ''agent_type'' is missing',
+                       (SELECT count(*) FROM lineitem WHERE l_linenumber % 3 = 0)::BIGINT
             ) WHERE count > 0
         """,
         "meta_kg_source_counts": f"""

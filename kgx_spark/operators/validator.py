@@ -38,8 +38,11 @@ from kgx_spark.functions.curie import CURIE_REGEX
 # Back-compat alias: callers may pass their own snapshot.
 KNOWN_CATEGORIES = KNOWN_CLASSES
 
-REQUIRED_NODE_PROPERTIES = ("id", "category")  # validator.py:332-355
-REQUIRED_EDGE_PROPERTIES = ("subject", "predicate", "object")  # validator.py:357-401
+REQUIRED_NODE_PROPERTIES = ("id", "category")  # validator.py:216-243
+# validator.py:246-273 derives these from the model's required association
+# slots — in the current Biolink model that is subject/predicate/object plus
+# knowledge_level and agent_type (docs/kgx_format.md:81-86)
+REQUIRED_EDGE_PROPERTIES = ("subject", "predicate", "object", "knowledge_level", "agent_type")
 
 _ERR_SCHEMA = "entity string, level string, error_type string, message string"
 
