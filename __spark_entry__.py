@@ -466,6 +466,17 @@ def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return simhash(_docs(spark, sf), bits=16)
 
 
+def q_curate_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """The full training-data curation composition: quality gate → exact
+    dedup → LSH near-dup candidates → Jaccard verify → CC clustering → one
+    representative per cluster."""
+    from kgx_spark.operators.curate import curate_corpus
+
+    return curate_corpus(
+        _docs(spark, sf), min_tokens=5, jaccard_threshold=0.9, num_hashes=8, bands=4
+    )
+
+
 def q_simhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     from kgx_spark.operators.dedup import simhash_near_dups
 
@@ -654,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_jaccard_pairs,
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dups,
+        "curate_corpus": q_curate_corpus,
         "ann_topk_cosine": q_topk_cosine,
         "embedding_near_dup": q_embedding_near_dup,
         "events_window_agg": q_events_window,
@@ -875,6 +887,78 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY 1, 2, 3, 4
         """,
         "ann_topk_lsh": _lsh_oracle_sql(),
+        "curate_corpus": """
+            WITH RECURSIVE passing AS (
+                SELECT doc_id, text,
+                       len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> ''))::BIGINT AS n_tokens
+                FROM documents
+                WHERE len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')) >= 5
+            ),
+            uniq AS (
+                SELECT p.* FROM passing p
+                JOIN (SELECT md5(text) AS h, min(doc_id) AS rep FROM passing GROUP BY 1) r
+                  ON p.doc_id = r.rep
+            ),
+            words AS (
+                SELECT doc_id, unnest(list_distinct(
+                    string_split_regex(lower(text), '\\s+'))) AS word FROM uniq
+            ),
+            w AS (SELECT doc_id, word FROM words WHERE word <> ''),
+            sigs AS (
+                SELECT doc_id,
+                       min(md5('0_' || word)) AS h0, min(md5('1_' || word)) AS h1,
+                       min(md5('2_' || word)) AS h2, min(md5('3_' || word)) AS h3,
+                       min(md5('4_' || word)) AS h4, min(md5('5_' || word)) AS h5,
+                       min(md5('6_' || word)) AS h6, min(md5('7_' || word)) AS h7
+                FROM w GROUP BY doc_id
+            ),
+            banded AS (
+                SELECT doc_id, 0 AS band, h0 || '_' || h1 AS key FROM sigs
+                UNION ALL SELECT doc_id, 1, h2 || '_' || h3 FROM sigs
+                UNION ALL SELECT doc_id, 2, h4 || '_' || h5 FROM sigs
+                UNION ALL SELECT doc_id, 3, h6 || '_' || h7 FROM sigs
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+                WHERE a.doc_id < b.doc_id
+            ),
+            sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM w GROUP BY doc_id),
+            inter AS (
+                SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS i
+                FROM cand c
+                JOIN w wa ON wa.doc_id = c.doc_a
+                JOIN w wb ON wb.doc_id = c.doc_b AND wb.word = wa.word
+                GROUP BY 1, 2
+            ),
+            near AS (
+                SELECT doc_a, doc_b FROM inter
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE floor(i * 1000.0 / (sa.sz + sb.sz - i)) >= 900
+            ),
+            sym AS (
+                SELECT doc_a AS a, doc_b AS b FROM near
+                UNION SELECT doc_b, doc_a FROM near
+            ),
+            reach AS (
+                SELECT a, b FROM sym
+                UNION
+                SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b
+            ),
+            comp AS (
+                SELECT u.doc_id,
+                       coalesce(least(u.doc_id, (SELECT min(b) FROM reach WHERE a = u.doc_id)),
+                                u.doc_id) AS cluster
+                FROM uniq u
+            ),
+            kept AS (
+                SELECT cluster, min(doc_id) AS doc_id, count(*)::BIGINT AS cluster_size
+                FROM comp GROUP BY cluster
+            )
+            SELECT k.doc_id, p.n_tokens, CAST(k.cluster AS VARCHAR) AS cluster, k.cluster_size
+            FROM kept k JOIN passing p ON p.doc_id = k.doc_id
+        """,
         "simhash_near_dup": f"""
             {words_cte},
             sigs AS (

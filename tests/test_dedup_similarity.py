@@ -168,3 +168,19 @@ def test_jaccard_candidate_restricted_matches_exact(spark, docs):
     # restricted ⊆ exact, values equal, and covers exactly exact ∩ candidates
     assert restricted == {k: v for k, v in exact.items() if k in cand_set}
     assert len(restricted) > 0
+
+
+def test_curate_corpus_drops_planted_duplicates(spark, docs):
+    from kgx_spark.operators.curate import curate_corpus
+
+    exact = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 100000)
+    near = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 200000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zzzz"))
+    )
+    out = curate_corpus(docs.unionByName(exact).unionByName(near), jaccard_threshold=0.9).cache()
+    kept = {r["doc_id"] for r in out.collect()}
+    # planted exact copies never survive (identical text, higher id)
+    assert not any(k >= 100000 for k in kept)
+    # representative is the min member and the quality gate applied
+    assert all(r["cluster"] == str(r["doc_id"]) for r in out.collect())
+    assert out.where(F.col("n_tokens") < 5).count() == 0
