@@ -23,11 +23,28 @@ from pyspark.sql import functions as F
 from kgx_spark.operators.textstats import tokens
 
 
-def word_set(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, word) distinct — the 1-gram shingle set."""
-    return df.select(
-        F.col(id_col), F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("word")
-    )
+def word_set(df: DataFrame, id_col: str, text_col: str, ngram: int = 1) -> DataFrame:
+    """(id, word) distinct — the n-gram shingle set (default 1-gram words).
+
+    n>1 builds word-level shingles JVM-side: a sliding concat over the token
+    array via transform(sequence(...)) — no explode-then-window, no Python.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    if ngram <= 1:
+        shingles = F.array_distinct(toks)
+    else:
+        # guard: sequence(1, stop) DESCENDS when stop < 1 — short docs must
+        # yield an empty shingle set, not [1, 0, ...]
+        windowed = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (ngram - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, ngram)),
+            )
+        )
+        shingles = F.when(F.size(toks) >= ngram, windowed).otherwise(
+            F.array().cast("array<string>")
+        )
+    return df.select(F.col(id_col), F.explode(shingles).alias("word"))
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -44,7 +61,8 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", num_hashes: int = 8
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", num_hashes: int = 8,
+    ngram: int = 1,
 ) -> DataFrame:
     """Per-doc MinHash signature: h_i = min over shingles of md5(i || '_' || w).
 
@@ -52,7 +70,7 @@ def minhash_signatures(
     lexicographic min is a valid min-hash; identical in any engine.
     → (id, h0..h{n-1})
     """
-    ws = word_set(df, id_col, text_col)
+    ws = word_set(df, id_col, text_col, ngram)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}_"), F.col("word")))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -67,6 +85,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     max_bucket_size: int | None = None,
+    ngram: int = 1,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidates: band signatures → bucket join →
     distinct (a < b) pairs. The shuffle unit is (band_key, id) — constant-size
@@ -79,7 +98,7 @@ def lsh_candidate_pairs(
     default).
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes)
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, ngram=ngram)
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -113,6 +132,7 @@ def jaccard_pairs(
     text_col: str = "text",
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
+    ngram: int = 1,
 ) -> DataFrame:
     """n-gram (word-set) Jaccard similarity pairs ≥ threshold.
 
@@ -122,7 +142,7 @@ def jaccard_pairs(
     from LSH) only candidate pairs are verified. Jaccard is returned ×1000 as
     bigint for cross-engine exactness.
     """
-    ws = word_set(df, id_col, text_col)
+    ws = word_set(df, id_col, text_col, ngram)
     sizes = ws.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = ws.withColumnRenamed(id_col, "doc_a")
     b = ws.withColumnRenamed(id_col, "doc_b")

@@ -184,3 +184,27 @@ def test_curate_corpus_drops_planted_duplicates(spark, docs):
     # representative is the min member and the quality gate applied
     assert all(r["cluster"] == str(r["doc_id"]) for r in out.collect())
     assert out.where(F.col("n_tokens") < 5).count() == 0
+
+
+def test_ngram_shingles(spark):
+    from kgx_spark.operators.dedup import jaccard_pairs, word_set
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "d c b a"), (4, "ab")],
+        "doc_id bigint, text string",
+    )
+    tri = {r["doc_id"]: set() for r in docs.collect()}
+    for r in word_set(docs, "doc_id", "text", ngram=3).collect():
+        tri[r["doc_id"]].add(r["word"])
+    assert tri[1] == {"a b c", "b c d"}
+    assert tri[3] == {"d c b", "c b a"}  # order-sensitive, unlike 1-grams
+    assert tri[4] == set()  # shorter than the shingle width → empty
+
+    # identical docs are jaccard-1000 twins at any shingle width; reversed
+    # word order only matches under 1-grams
+    j3 = {(r["doc_a"], r["doc_b"]): r["jaccard_1000"]
+          for r in jaccard_pairs(docs, threshold=0.5, ngram=3).collect()}
+    assert j3 == {(1, 2): 1000}
+    j1 = {(r["doc_a"], r["doc_b"]): r["jaccard_1000"]
+          for r in jaccard_pairs(docs, threshold=0.5, ngram=1).collect()}
+    assert j1[(1, 3)] == 1000 and j1[(1, 2)] == 1000
