@@ -510,6 +510,17 @@ def q_events_window(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    from kgx_spark.operators.events import windowed_counts
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    out = windowed_counts(ev, "1 hour", slide_duration="15 minutes")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type", "n_events", "sum_value_1e2",
+    )
+
+
 def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     from kgx_spark.operators.events import sessionize
 
@@ -669,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_cosine": q_topk_cosine,
         "embedding_near_dup": q_embedding_near_dup,
         "events_window_agg": q_events_window,
+        "events_sliding_window": q_events_sliding,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "language_id": q_langid,
@@ -1130,6 +1142,19 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_value_1e2
             FROM events GROUP BY 1, 2
+        """,
+        "events_sliding_window": """
+            SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type,
+                   count(*)::BIGINT AS n_events,
+                   sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_value_1e2
+            FROM (
+                SELECT event_type, value,
+                       TIMESTAMP '1970-01-01'
+                         + ((floor(epoch(ts))::BIGINT // 900) * 900 - k * 900) * INTERVAL '1 second' AS ws
+                FROM events, LATERAL unnest(generate_series(0, 3)) AS t(k)
+            )
+            GROUP BY 1, 2
         """,
         "sessionize": """
             WITH ordered AS (

@@ -21,8 +21,11 @@ def windowed_counts(
     ts_col: str = "ts",
     group_col: str = "event_type",
     watermark: str | None = None,
+    slide_duration: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window counts + value sum per group.
+    """Tumbling (default) or SLIDING window counts + value sum per group —
+    pass ``slide_duration`` < ``window_duration`` for overlapping windows
+    (each event contributes to width/slide windows).
 
     → (window_start, event_type, n_events, sum_value_1e2). Streaming-safe:
     pass watermark to bound state for late data.
@@ -30,7 +33,7 @@ def windowed_counts(
     df = events
     if watermark:
         df = df.withWatermark(ts_col, watermark)
-    w = F.window(F.col(ts_col), window_duration)
+    w = F.window(F.col(ts_col), window_duration, slide_duration or window_duration)
     return (
         df.groupBy(w.alias("w"), F.col(group_col))
         .agg(
