@@ -146,3 +146,16 @@ def test_scale_dedup_paths_have_no_cartesian(spark):
     ]
     for p in plans:
         assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_multimodal_decode_has_no_shuffle(spark):
+    """Binary media columns must never shuffle: the decode/feature plan is a
+    single narrow mapInPandas stage over the scan."""
+    from kgx_spark.operators.multimodal import decode_features
+
+    df = spark.createDataFrame(
+        [("a", "image", bytearray(b"\x89PNG123"))],
+        "media_id string, kind string, content binary",
+    )
+    p = plan_of(decode_features(df))
+    assert "Exchange" not in p
