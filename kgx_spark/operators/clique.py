@@ -320,6 +320,7 @@ def clique_merge(
     leader_annotation: str | None = None,
     update_categories: bool = False,
     dedupe_edges: bool = True,
+    strict: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """→ (canonical nodes, re-pointed edges, member→leader mapping).
 
@@ -332,6 +333,23 @@ def clique_merge(
     self-loop subclass_of edges dropped (365-371).
     """
     pairs = build_same_as_pairs(nodes, edges)
+    if strict and "category" in nodes.columns:
+        # strict mode (clique_merge.py:443-455 '_excluded_from_clique'): a
+        # node carrying a biolink-SHAPED but UNKNOWN category is excluded
+        # from clique formation entirely — an anti-join drops its pairs.
+        from kgx_spark.functions.biolink import KNOWN_CLASSES
+
+        known = F.array(*[F.lit(c) for c in sorted(KNOWN_CLASSES)])
+        excluded = nodes.where(
+            F.exists(
+                "category",
+                lambda c: c.rlike(r"^biolink:[A-Z][a-zA-Z]*$") & ~F.array_contains(known, c),
+            )
+        ).select("id")
+        pairs = (
+            pairs.join(excluded.withColumnRenamed("id", "src"), on="src", how="left_anti")
+            .join(excluded.withColumnRenamed("id", "dst"), on="dst", how="left_anti")
+        )
     labels, _ = connected_components(pairs)
     leader_map = elect_leaders(labels, nodes, prefix_priority, leader_annotation)
     mapping = (

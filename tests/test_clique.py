@@ -117,3 +117,26 @@ def test_clique_merge_alphabetical_fallback(spark, clique_graph):
     n2, _, _ = clique_merge(nodes, edges)  # no priority → alphabetical prefix
     ids = {r["id"] for r in n2.collect()}
     assert "ENSEMBL:1" in ids  # 'ENSEMBL' < 'HGNC' < 'NCBIGene'
+
+
+def test_strict_mode_excludes_invalid_category_nodes(spark):
+    """clique_merge.py:443-455: strict mode marks nodes with biolink-shaped
+    but unknown categories '_excluded_from_clique' — they must not merge."""
+    from kgx_spark.operators.clique import clique_merge
+    import pyspark.sql.functions as F
+
+    nodes = spark.createDataFrame(
+        [
+            ("HGNC:1", ["biolink:Gene"], ["NCBIGene:1"]),
+            ("NCBIGene:1", ["biolink:Gene"], None),
+            ("BAD:1", ["biolink:Zebra"], ["HGNC:1"]),  # unknown class
+        ],
+        "id string, category array<string>, same_as array<string>",
+    )
+    edges = spark.createDataFrame([], "subject string, predicate string, object string")
+    n, _, _ = clique_merge(nodes, edges, prefix_priority=["HGNC"], strict=True)
+    ids = {r["id"] for r in n.collect()}
+    # HGNC:1 absorbs NCBIGene:1; BAD:1 is excluded and survives standalone
+    assert ids == {"HGNC:1", "BAD:1"}
+    n2, _, _ = clique_merge(nodes, edges, prefix_priority=["HGNC"], strict=False)
+    assert {r["id"] for r in n2.collect()} == {"HGNC:1"}  # non-strict merges all
