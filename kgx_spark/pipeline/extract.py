@@ -28,10 +28,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
-EXTRACTOR_VERSION = "1.1.0"  # bump on ANY behavior change (byte-identity pin)
+EXTRACTOR_VERSION = "1.2.0"  # bump on ANY behavior change (byte-identity pin)
 
+# script/style are CDATA-ish: a browser treats an UNCLOSED <script> as
+# running to end-of-document, so the extractor must too — otherwise
+# malformed html leaks executable-code text into the corpus (adversarial
+# P/R case, round-2 next-round #7). Structural tags (nav/header/...) are
+# auto-closed by browsers, so they still require an explicit close.
+_DROP_CDATA = re.compile(r"(?is)<(script|style)\b[^>]*>.*?(</\1\s*>|\Z)")
 _DROP_SUBTREES = re.compile(
-    r"(?is)<(script|style|nav|header|head|footer|aside|title)\b[^>]*>.*?</\1\s*>"
+    r"(?is)<(nav|header|head|footer|aside|title)\b[^>]*>.*?</\1\s*>"
 )
 _TAGS = re.compile(r"(?s)<[^>]+>")
 _WS = re.compile(r"\s+")
@@ -49,6 +55,7 @@ def extract_text_bytes(html: bytes | None) -> str | None:
     if html is None:
         return None
     s = html.decode("utf-8", errors="replace")
+    s = _DROP_CDATA.sub(" ", s)
     s = _DROP_SUBTREES.sub(" ", s)
     s = _TAGS.sub(" ", s)
     s = _decode_entities(s)
@@ -59,6 +66,7 @@ def extract_text_bytes(html: bytes | None) -> str | None:
 def _extract_udf(html: pd.Series) -> pd.Series:
     # vectorized over the Arrow batch; one pass per rule, entities fused
     s = html.str.decode("utf-8", errors="replace")
+    s = s.str.replace(_DROP_CDATA, " ", regex=True)
     s = s.str.replace(_DROP_SUBTREES, " ", regex=True)
     s = s.str.replace(_TAGS, " ", regex=True)
     s = s.str.replace(_ENTITY_RX, lambda m: _ENTITY_MAP[m.group(0)], regex=True)

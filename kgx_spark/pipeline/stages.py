@@ -88,6 +88,24 @@ def append_metrics(workdir: str, record: dict) -> None:
         fh.write(json.dumps(record) + "\n")
 
 
+def scrub_stage_metrics(workdir: str, stage: str) -> None:
+    """Drop metrics rows for a stage that is about to be recomputed.
+
+    A run killed between the metrics append and the marker write leaves an
+    orphan metrics row (the window is real: write → lineage → metrics →
+    marker). Without the scrub, the re-run would append a second row for the
+    same stage and the metrics table would double-count it."""
+    path = os.path.join(workdir, "metrics.jsonl")
+    if not os.path.exists(path):
+        return
+    rows = [r for r in read_metrics(workdir) if r.get("stage") != stage]
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    os.replace(tmp, path)
+
+
 def read_metrics(workdir: str) -> list[dict]:
     path = os.path.join(workdir, "metrics.jsonl")
     if not os.path.exists(path):
@@ -122,6 +140,12 @@ def run_stages(
         if not force and os.path.exists(marker):
             ctx[stage.name] = spark.read.parquet(out_path)
             continue
+        # no marker ⇒ any existing stage dir is a KILLED partial write:
+        # mode("overwrite") below replaces the data atomically enough for
+        # this emulation (a real Iceberg commit is atomic), and the stale
+        # metrics row — appended before the kill — must go so the recompute
+        # doesn't double-count the stage
+        scrub_stage_metrics(workdir, stage.name)
         t0 = time.monotonic()
         df = stage.fn(spark, ctx)
         df.write.mode("overwrite").parquet(out_path)

@@ -37,7 +37,12 @@ RELATION_PATTERNS: dict[str, str] = {
 
 def _pattern_regex() -> str:
     phrases = "|".join(sorted(RELATION_PATTERNS, key=len, reverse=True))
-    return f"({CURIE_TOKEN}) ({phrases}) ({CURIE_TOKEN})"
+    # the OBJECT is matched inside a LOOKAHEAD (zero-width, but its group
+    # still captures) so a CURIE can be the object of one triple AND the
+    # subject of the next: "A interacts with B interacts with C" yields BOTH
+    # (A,B) and (B,C) — a plain consuming group would swallow B and miss the
+    # second triple (overlapping-mentions adversarial case, round-2 #7)
+    return f"({CURIE_TOKEN}) ({phrases}) (?=({CURIE_TOKEN}))"
 
 
 def extract_triples(
@@ -45,19 +50,26 @@ def extract_triples(
 ) -> DataFrame:
     """pages → raw triples(subject, predicate, object, provided_by[url]).
 
-    One regexp_extract_all per page (JVM), one explode, one predicate-map
-    lookup. No shuffle until the downstream merge.
+    Three regexp_extract_all group pulls per page (JVM, same compiled regex)
+    zipped positionally, one explode, one predicate-map lookup. No shuffle
+    until the downstream merge.
     """
     rx = _pattern_regex()
     pred_map = F.create_map(*[F.lit(x) for kv in sorted(RELATION_PATTERNS.items()) for x in kv])
     matches = pages.select(
         F.col(url_col).alias("url"),
-        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(rx), F.lit(0))).alias("m"),
+        F.explode(
+            F.arrays_zip(
+                F.regexp_extract_all(F.col(text_col), F.lit(rx), F.lit(1)).alias("s"),
+                F.regexp_extract_all(F.col(text_col), F.lit(rx), F.lit(2)).alias("p"),
+                F.regexp_extract_all(F.col(text_col), F.lit(rx), F.lit(3)).alias("o"),
+            )
+        ).alias("m"),
     )
     return matches.select(
-        F.regexp_extract("m", rx, 1).alias("subject"),
-        F.element_at(pred_map, F.regexp_extract("m", rx, 2)).alias("predicate"),
-        F.regexp_extract("m", rx, 3).alias("object"),
+        F.col("m.s").alias("subject"),
+        F.element_at(pred_map, F.col("m.p")).alias("predicate"),
+        F.col("m.o").alias("object"),
         F.array(F.col("url")).alias("provided_by"),
     )
 

@@ -124,10 +124,10 @@ EDGE_CORE_ORDER = ["id", "subject", "predicate", "object", "category", "relation
 def is_multivalued(column: str) -> bool:
     """True if the KGX convention types this column as a list.
 
-    Unknown (long-tail) columns default to single-valued on ingest; the
-    reference sniffs delimiters dynamically (kgx/utils/kgx_utils.py:884-899) —
-    we only split declared multivalued columns, which matches the reference's
-    behavior for every column it declares.
+    This covers DECLARED columns only. Undeclared long-tail columns are
+    handled by dynamic delimiter sniffing at ingest
+    (kgx_spark.operators.sanitize.sniff_list_columns — the Spark analogue of
+    kgx/utils/kgx_utils.py:884-899).
     """
     return column in MULTIVALUED_PROPERTIES
 

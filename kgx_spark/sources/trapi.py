@@ -26,11 +26,24 @@ from kgx_spark.functions.keys import generate_edge_identifiers
 from kgx_spark.operators.sanitize import sanitize_import
 from kgx_spark.operators.validate import validate_edges, validate_nodes
 
+# attribute values are heterogeneous JSON (scalars OR lists — the reference
+# emits both, trapi_sink.py:236-278): VariantType parses either, and the
+# flattener below renders lists as '|'-joined strings per the KGX TSV
+# convention (kgx/source/tsv_source.py:18)
 _ATTR = T.ArrayType(
     T.StructType(
         [
             T.StructField("attribute_type_id", T.StringType()),
-            T.StructField("value", T.StringType()),
+            T.StructField("value", T.VariantType()),
+            T.StructField("value_type_id", T.StringType()),
+        ]
+    )
+)
+_QUAL = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("qualifier_type_id", T.StringType()),
+            T.StructField("qualifier_value", T.StringType()),
         ]
     )
 )
@@ -58,6 +71,7 @@ _EDGE_VAL = T.StructType(
                 )
             ),
         ),
+        T.StructField("qualifiers", _QUAL),
     ]
 )
 _KG = T.StructType(
@@ -75,6 +89,15 @@ _KG = T.StructType(
 )
 
 
+def _attr_value(v: F.Column) -> F.Column:
+    """Variant attribute value → string: scalars verbatim, lists '|'-joined
+    (the KGX list convention, tsv_source.py:18)."""
+    as_arr = F.try_variant_get(v, "$", "array<string>")
+    return F.when(as_arr.isNotNull(), F.array_join(as_arr, "|")).otherwise(
+        F.try_variant_get(v, "$", "string")
+    )
+
+
 def _attrs_map(col: F.Column) -> F.Column:
     """attributes[] → map<property, value> with biolink: prefix stripped
     (trapi_source.py:202-320)."""
@@ -82,7 +105,21 @@ def _attrs_map(col: F.Column) -> F.Column:
         col,
         lambda a: F.struct(
             F.regexp_replace(a["attribute_type_id"], "^biolink:", "").alias("key"),
-            a["value"].alias("value"),
+            _attr_value(a["value"]).alias("value"),
+        ),
+    )
+    return F.map_from_entries(F.coalesce(entries, F.array()))
+
+
+def _qualifiers_map(col: F.Column) -> F.Column:
+    """qualifiers[] → map<qualifier_type, value> with biolink: prefix
+    stripped (the flattened '*_qualifier' property form the reference's sink
+    re-nests — trapi_sink.py:400-426)."""
+    entries = F.transform(
+        col,
+        lambda q: F.struct(
+            F.regexp_replace(q["qualifier_type_id"], "^biolink:", "").alias("key"),
+            q["qualifier_value"].alias("value"),
         ),
     )
     return F.map_from_entries(F.coalesce(entries, F.array()))
@@ -117,6 +154,7 @@ def read_trapi(
         primary.alias("primary_knowledge_source"),
         aggs.alias("aggregator_knowledge_source"),
         _attrs_map(F.col("e.attributes")).alias("attributes"),
+        _qualifiers_map(F.col("e.qualifiers")).alias("qualifiers"),
     )
     edges = generate_edge_identifiers(edges)
     nodes = sanitize_import(nodes)

@@ -40,15 +40,23 @@ def _read_table(spark: SparkSession, path: str, fmt: str = "tsv") -> DataFrame:
     return reader.csv(path)
 
 
-def read_nodes_tsv(spark: SparkSession, path: str, fmt: str = "tsv", validate: bool = True) -> DataFrame:
-    df = sanitize_import(_read_table(spark, path, fmt))
+def read_nodes_tsv(
+    spark: SparkSession, path: str, fmt: str = "tsv", validate: bool = True, sniff: bool = True
+) -> DataFrame:
+    # sniff=True mirrors the reference's dynamic delimiter handling for
+    # undeclared long-tail columns (kgx_utils.py:884-899) — one extra
+    # column-pruned aggregate pass at ingest; pass sniff=False to skip it
+    # when the file is known-canonical
+    df = sanitize_import(_read_table(spark, path, fmt), sniff=sniff)
     if validate:
         df, _ = validate_nodes(df)
     return df
 
 
-def read_edges_tsv(spark: SparkSession, path: str, fmt: str = "tsv", validate: bool = True) -> DataFrame:
-    df = sanitize_import(_read_table(spark, path, fmt))
+def read_edges_tsv(
+    spark: SparkSession, path: str, fmt: str = "tsv", validate: bool = True, sniff: bool = True
+) -> DataFrame:
+    df = sanitize_import(_read_table(spark, path, fmt), sniff=sniff)
     if validate:
         df, _ = validate_edges(df)
     return df

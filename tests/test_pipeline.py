@@ -109,9 +109,51 @@ def test_full_pipeline_and_resume(spark, pages, tmp_path):
     assert stages_run == ["extract", "triples", "edges_raw", "canonical", "edges", "nodes"]
     assert all(m["lineage"] for m in metrics if m["rows"] > 0)
 
-    # kill-resume: delete the LAST stage's marker → only that stage re-runs
+    # kill-resume: delete the LAST stage's marker → only that stage re-runs,
+    # and its stale metrics row is scrubbed (ONE row per stage, no
+    # double-count — round-2 next-round #8)
+    committed_before = {m["stage"]: m["committed_at"] for m in metrics}
     os.remove(os.path.join(wd, "nodes._COMMITTED"))
     ctx2 = run_kg_pipeline(spark, SF, wd, link_entities=False)
     metrics2 = read_metrics(wd)
-    assert [m["stage"] for m in metrics2] == stages_run + ["nodes"]
+    assert [m["stage"] for m in metrics2] == stages_run  # exactly one row each
+    # the five committed stages were LOADED, not recomputed: their rows are
+    # byte-identical; only `nodes` was re-executed
+    for m in metrics2:
+        if m["stage"] != "nodes":
+            assert m["committed_at"] == committed_before[m["stage"]]
     assert ctx2["edges"].count() == n_edges
+
+
+def test_kill_mid_write_recomputes_cleanly(spark, pages, tmp_path):
+    """Round-2 next-round #8: a run killed MID-WRITE leaves the stage dir
+    with partial files, possibly a metrics row, and NO marker. The re-run
+    must recompute that stage from scratch (not trust the partial data) and
+    must not duplicate its metrics row."""
+    wd = str(tmp_path / "w")
+    ctx = run_kg_pipeline(spark, SF, wd, link_entities=False)
+    n_edges = ctx["edges"].count()
+    stages_run = [m["stage"] for m in read_metrics(wd)]
+
+    # simulate the kill: marker gone, stage dir present but corrupted with a
+    # partial file (the metrics row from the killed run is still there)
+    stage_dir = os.path.join(wd, "canonical.parquet")
+    os.remove(os.path.join(wd, "canonical._COMMITTED"))
+    for f in os.listdir(stage_dir):
+        if f.startswith("part-"):
+            os.remove(os.path.join(stage_dir, f))
+            break
+    with open(os.path.join(stage_dir, "part-99999-killed.parquet"), "wb") as fh:
+        fh.write(b"\x00partial garbage, not a parquet footer")
+    # downstream markers gone too — a real resume re-runs everything after
+    # the killed stage (their inputs changed)
+    for s in ("edges", "nodes"):
+        os.remove(os.path.join(wd, f"{s}._COMMITTED"))
+
+    ctx2 = run_kg_pipeline(spark, SF, wd, link_entities=False)
+    metrics2 = read_metrics(wd)
+    # exactly one metrics row per stage — the killed rows were scrubbed
+    assert [m["stage"] for m in metrics2] == stages_run
+    assert ctx2["edges"].count() == n_edges
+    # the garbage partial file is gone (overwrite replaced the dir content)
+    assert not os.path.exists(os.path.join(stage_dir, "part-99999-killed.parquet"))

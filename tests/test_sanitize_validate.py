@@ -53,3 +53,58 @@ def test_validate_edges_rejects_missing_spo(spark):
     assert errors.count() == 2
     err = errors.first()
     assert err["error_type"] == "MISSING_EDGE_PROPERTY"
+
+
+def test_sniff_undeclared_delimiter_columns(spark):
+    # the reference splits ANY undeclared string value containing '|' and
+    # wraps Biolink-multivalued slot values in lists (kgx_utils.py:884-899)
+    from kgx_spark.operators.sanitize import sanitize_import, sniff_list_columns
+
+    df = spark.createDataFrame(
+        [
+            ("A:1", "NCBITaxon:1|NCBITaxon:2", "scalar one", "ECO:1"),
+            ("A:2", "NCBITaxon:3", "scalar two", "ECO:2"),
+        ],
+        "id string, taxon string, custom_note string, has_evidence string",
+    )
+    sniffed = sniff_list_columns(df)
+    # taxon carries the delimiter → list; custom_note never does → scalar;
+    # has_evidence is a Biolink multivalued slot → list even without '|'
+    assert sniffed == {"taxon", "has_evidence"}
+    out = sanitize_import(df, sniff=True)
+    types = dict(out.dtypes)
+    assert types["taxon"] == "array<string>"
+    assert types["has_evidence"] == "array<string>"
+    assert types["custom_note"] == "string"
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows["A:1"]["taxon"] == ["NCBITaxon:1", "NCBITaxon:2"]
+    assert rows["A:2"]["taxon"] == ["NCBITaxon:3"]
+    assert rows["A:1"]["has_evidence"] == ["ECO:1"]
+    assert rows["A:1"]["custom_note"] == "scalar one"
+
+
+def test_sniff_never_touches_declared_columns(spark):
+    from kgx_spark.operators.sanitize import sniff_list_columns
+
+    # primary_knowledge_source is DECLARED single-valued (column_types) even
+    # though a value could contain '|'; name likewise
+    df = spark.createDataFrame(
+        [("A:1", "weird|name", "infores:a|infores:b")],
+        "id string, name string, primary_knowledge_source string",
+    )
+    assert sniff_list_columns(df) == set()
+
+
+def test_tsv_read_sniffs_undeclared_list_column(spark, tmp_path):
+    from kgx_spark.sources.tsv import read_nodes_tsv
+
+    p = tmp_path / "g_nodes.tsv"
+    p.write_text(
+        "id\tname\tcategory\ttaxon\n"
+        "HGNC:1\tg1\tbiolink:Gene\tNCBITaxon:9606|NCBITaxon:10090\n"
+        "HGNC:2\tg2\tbiolink:Gene\tNCBITaxon:9606\n"
+    )
+    nodes = read_nodes_tsv(spark, str(p))
+    rows = {r["id"]: r for r in nodes.collect()}
+    assert rows["HGNC:1"]["taxon"] == ["NCBITaxon:10090", "NCBITaxon:9606"]
+    assert rows["HGNC:2"]["taxon"] == ["NCBITaxon:9606"]
