@@ -42,6 +42,15 @@ def _noop(df) -> int:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Shuffle files default to tmpfs here: this sandbox has ONE quota-throttled
+    # virtio disk, and round-3 diagnostics showed N concurrent shuffle writers
+    # saturating it (per-stage walls: every shuffle stage scaled NEGATIVELY on
+    # /tmp, positively on tmpfs — BASELINE.md round-3 section). A real cluster
+    # adds local SSDs with every executor, so RAM-backed shuffle is the
+    # faithful emulation of per-executor shuffle locality. Override with
+    # SPARK_GRAFT_LOCAL_DIR=/tmp to measure the single-disk behavior.
+    if os.path.isdir("/dev/shm"):
+        os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm")
     spark = get_spark("kgx_bench", master=f"local[{cpus}]", shuffle_partitions=max(8, cpus))
 
     timings: dict[str, float] = {}

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -42,6 +43,11 @@ def main() -> None:
                     help="single fused DAG, no intermediate snapshots (no resume)")
     args = ap.parse_args()
 
+    # shuffle files on tmpfs by default: one quota-throttled virtio disk here
+    # vs per-executor local SSDs on a real cluster — see bench.py + BASELINE.md
+    # round-3 "shuffle-dir" diagnosis; SPARK_GRAFT_LOCAL_DIR=/tmp overrides
+    if os.path.isdir("/dev/shm"):
+        os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm")
     spark = get_spark("kgx_pipeline", master=args.master)
     pages_df = None
     if args.repeat_input > 1:
