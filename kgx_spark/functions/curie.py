@@ -71,7 +71,19 @@ def contract(col: Column, prefix_map: dict[str, str] | None = None) -> Column:
         hit = col.startswith(uri)
         val = F.concat(F.lit(prefix + ":"), F.substring(col, len(uri) + 1, 2**30))
         expr = F.when(hit, val) if expr is None else expr.when(hit, val)
-    return col if expr is None else expr.otherwise(col)
+    # generic OBO-PURL fallback: http://purl.obolibrary.org/obo/PFX_ref →
+    # PFX:ref. The reference's JSON-LD context carries one entry per OBO
+    # ontology, all expanded from this same PURL scheme
+    # (kgx/prefix_manager.py:50-76 loads the full Biolink context); the
+    # generic rule reproduces that for the whole OBO family without baking
+    # in hundreds of prefixes. Explicit map entries still win (checked first).
+    obo_rx = r"^http://purl\.obolibrary\.org/obo/([A-Za-z][A-Za-z0-9]*)_([^/\s]+)$"
+    obo_pfx = F.regexp_extract(col, obo_rx, 1)
+    fallback = F.when(
+        obo_pfx != "",
+        F.concat(obo_pfx, F.lit(":"), F.regexp_extract(col, obo_rx, 2)),
+    ).otherwise(col)
+    return fallback if expr is None else expr.otherwise(fallback)
 
 
 def expand(col: Column, prefix_map: dict[str, str] | None = None) -> Column:

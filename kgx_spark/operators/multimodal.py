@@ -2,11 +2,18 @@
 
 Media are opaque ``binary`` columns with typed metadata structs; decode /
 feature-extract / resize / frame-sample run as Arrow-batched pandas UDFs over
-``mapInPandas``. The actual codec work is STUBBED (no image/audio libs in
-this container — see ``_decode_stub``): the stub is a deterministic fake that
-derives "pixels"/"samples" from the md5 of the bytes, so the Spark-side
-plumbing — schema, batching, partitioning, UDF signatures — is real and
-tested, and swapping in PIL/ffmpeg later changes one function.
+``mapInPandas``.
+
+Codec status (round 3 — real codecs, no external libs):
+- **images** (PNG / BMP / PPM / PGM) and **audio** (PCM WAV) are REALLY
+  decoded by ``kgx_spark.functions.codecs`` — self-contained stdlib+numpy
+  implementations of the public formats; features come from actual pixels /
+  samples and resize is a real nearest-neighbor resample re-encoded as PNG.
+- **video** containers genuinely require ffmpeg (not in this container):
+  video decode falls back to the deterministic md5 stub (``_decode_stub``),
+  clearly marked; frame_sample stays metadata-only math (real).
+- unrecognized byte formats also fall back to the stub rather than erroring,
+  so a mixed-quality 100 TB corpus doesn't kill the job on one bad blob.
 
 Scale notes: media bytes dominate row size, so these stages
 (a) never shuffle the binary column (all transforms are narrow maps),
@@ -48,17 +55,39 @@ FEATURE_DIM = 16
 
 
 def _decode_stub(content: bytes | None) -> list[float] | None:
-    """Deterministic fake 'decode + feature extract'.
-
-    REAL IMPLEMENTATION REQUIRES: PIL / torchaudio / ffmpeg — not installed
-    here. Raise-or-fake is controlled by the caller; this fake hashes the
-    bytes into FEATURE_DIM floats in [0, 1) so downstream plumbing (ANN over
-    media features, dedup by feature) is fully exercisable and reproducible.
+    """Deterministic fake 'decode + feature extract' — the FALLBACK for
+    formats the real codecs don't cover (video containers need ffmpeg, which
+    is not installed here; unknown blobs shouldn't kill a 100 TB job). The
+    fake hashes the bytes into FEATURE_DIM floats in [0, 1) so downstream
+    plumbing stays exercisable and reproducible for those rows too.
     """
     if content is None:
         return None
     h = hashlib.md5(content).digest()
     return [b / 255.0 for b in h[:FEATURE_DIM]]
+
+
+def _decode_features(content: bytes | None) -> list[float] | None:
+    """REAL decode + feature extraction for supported formats
+    (functions/codecs.py: PNG/BMP/PPM/PGM pixels, PCM WAV samples);
+    deterministic stub fallback otherwise."""
+    from kgx_spark.functions import codecs
+
+    if content is None:
+        return None
+    fmt = codecs.sniff_format(bytes(content))
+    try:
+        if fmt == "png":
+            return codecs.image_features(codecs.decode_png(bytes(content)), FEATURE_DIM)
+        if fmt == "bmp":
+            return codecs.image_features(codecs.decode_bmp(bytes(content)), FEATURE_DIM)
+        if fmt in ("ppm", "pgm"):
+            return codecs.image_features(codecs.decode_ppm(bytes(content)), FEATURE_DIM)
+        if fmt == "wav":
+            return codecs.audio_features(*codecs.decode_wav(bytes(content)), dim=FEATURE_DIM)
+    except Exception:  # malformed media → fallback, never a job kill
+        pass
+    return _decode_stub(content)
 
 
 def decode_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
@@ -83,7 +112,7 @@ def decode_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "feature": pdf["content"].map(_decode_stub),
+                    "feature": pdf["content"].map(_decode_features),
                 }
             )
 
@@ -91,13 +120,9 @@ def decode_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
 
 
 def _resize_stub(content: bytes | None, width: int, height: int) -> bytes | None:
-    """Deterministic fake 'resize'.
-
-    REAL IMPLEMENTATION REQUIRES PIL (not installed here). The fake re-keys
-    the bytes with the target dimensions (md5 chain to the byte budget of a
-    w×h thumbnail) so downstream size/bytes accounting and idempotence are
-    exercisable; the Spark-side plumbing (batching, metadata update) is real.
-    """
+    """Deterministic fake 'resize' — fallback for non-decodable formats (the
+    md5 chain re-keys the bytes to a w×h-proportional budget so size
+    accounting and idempotence stay exercisable)."""
     if content is None:
         return None
     budget = max(16, min(width * height // 64, 4096))
@@ -107,6 +132,31 @@ def _resize_stub(content: bytes | None, width: int, height: int) -> bytes | None
         out.extend(block)
         block = hashlib.md5(block).digest()
     return bytes(out[:budget])
+
+
+def _resize_real(content: bytes | None, width: int, height: int) -> bytes | None:
+    """REAL resize for decodable images: decode (PNG/BMP/PPM/PGM) →
+    nearest-neighbor resample → re-encode as PNG (the canonical thumbnail
+    format; deterministic filter-0 encode). Falls back to the stub for
+    formats the codecs don't cover."""
+    from kgx_spark.functions import codecs
+
+    if content is None:
+        return None
+    b = bytes(content)
+    fmt = codecs.sniff_format(b)
+    try:
+        if fmt == "png":
+            px = codecs.decode_png(b)
+        elif fmt == "bmp":
+            px = codecs.decode_bmp(b)
+        elif fmt in ("ppm", "pgm"):
+            px = codecs.decode_ppm(b)
+        else:
+            return _resize_stub(content, width, height)
+        return codecs.encode_png(codecs.resize_nearest(px, width, height))
+    except Exception:
+        return _resize_stub(content, width, height)
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
@@ -119,7 +169,7 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             is_img = pdf["kind"] == "image"
             pdf = pdf.copy()
             pdf.loc[is_img, "content"] = pdf.loc[is_img, "content"].map(
-                lambda b: _resize_stub(b, width, height)
+                lambda b: _resize_real(b, width, height)
             )
             pdf["meta"] = pdf.apply(
                 lambda r: {**(r["meta"] or {}), "width": width, "height": height}

@@ -12,9 +12,10 @@ classes becomes an edge (:158-163).
 Spark design: OWL ontologies serialized as N-Triples parse on the existing
 distributed line scan (blank nodes included); restriction stanzas are
 reassembled with ONE groupBy over the blank-node subjects and joined back to
-the subClassOf triples — no driver-side ontology object, no rdflib. The
-rdflib-gated ``owl_source.read_owl`` remains for RDF/XML inputs; this module
-is the scale path for NT-converted ontologies.
+the subClassOf triples — no driver-side ontology object, no rdflib.
+``owl_source.read_owl`` handles RDF/XML inputs (stdlib converter in
+sources/rdf_xml.py, rdflib when installed) and feeds this module; this is
+the scale path for all OWL ingestion.
 """
 
 from __future__ import annotations

@@ -1,0 +1,206 @@
+"""Real media codecs (functions/codecs.py): spec-correct decode verified on
+hand-constructed images/audio, round-trips, and the Spark decode path
+producing pixel-derived (not hash-derived) features."""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+import pytest
+
+from kgx_spark.functions import codecs
+
+
+def _gradient(h=8, w=12, c=3):
+    px = np.zeros((h, w, c), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            px[y, x] = [(x * 21) % 256, (y * 31) % 256, (x + y) % 256][:c]
+    return px
+
+
+# ---------------------------------------------------------------- PNG
+
+
+def test_png_roundtrip_rgb():
+    px = _gradient()
+    assert (codecs.decode_png(codecs.encode_png(px)) == px).all()
+
+
+def test_png_roundtrip_gray_and_rgba():
+    gray = _gradient(c=1)
+    assert (codecs.decode_png(codecs.encode_png(gray)) == gray).all()
+    rgba = np.dstack([_gradient(), np.full((8, 12), 200, np.uint8)])
+    assert (codecs.decode_png(codecs.encode_png(rgba)) == rgba).all()
+
+
+def _png_with_filters(px: np.ndarray, filters: list[int]) -> bytes:
+    """Hand-build a PNG using the given per-row filter types (encoder under
+    test only writes filter 0 — this exercises Sub/Up/Average/Paeth decode)."""
+    h, w, c = px.shape
+    prev = np.zeros(w * c, dtype=np.uint8)
+    raw = bytearray()
+    for y in range(h):
+        row = px[y].reshape(-1)
+        f = filters[y % len(filters)]
+        raw.append(f)
+        enc = np.zeros(w * c, dtype=np.int16)
+        for x in range(w * c):
+            a = int(row[x - c]) if x >= c else 0
+            b = int(prev[x])
+            cc = int(prev[x - c]) if x >= c else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:  # Paeth
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            enc[x] = (int(row[x]) - pred) % 256
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (codecs.PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("filters", [[1], [2], [3], [4], [0, 1, 2, 3, 4]])
+def test_png_decode_all_filter_types(filters):
+    px = _gradient(h=10, w=7)
+    assert (codecs.decode_png(_png_with_filters(px, filters)) == px).all()
+
+
+def test_png_palette():
+    plte = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    png = (codecs.PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte.tobytes())
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    out = codecs.decode_png(png)
+    assert (out == plte[idx]).all()
+
+
+# ---------------------------------------------------------------- BMP / PPM
+
+
+def test_bmp_decode_known_pixels():
+    # hand-built 2×2 24-bit bottom-up BMP: rows padded to 4 bytes
+    px = np.array([[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [10, 20, 30]]], np.uint8)
+    rows = b""
+    for y in (1, 0):  # bottom-up
+        row = b"".join(bytes([b, g, r]) for r, g, b in px[y])
+        rows += row + b"\x00" * ((4 - len(row) % 4) % 4)
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(rows), 0, 0, 0, 0))
+    assert (codecs.decode_bmp(header + rows) == px).all()
+
+
+def test_ppm_pgm_decode():
+    px = _gradient(h=3, w=4)
+    ppm = b"P6\n# comment\n4 3\n255\n" + px.tobytes()
+    assert (codecs.decode_ppm(ppm) == px).all()
+    gray = _gradient(h=3, w=4, c=1)
+    pgm = b"P5 4 3 255\n" + gray.tobytes()
+    assert (codecs.decode_ppm(pgm) == gray).all()
+
+
+# ---------------------------------------------------------------- WAV
+
+
+def _wav_bytes(freq=440.0, rate=8000, n=800):
+    t = np.arange(n) / rate
+    samples = (np.sin(2 * np.pi * freq * t) * 20000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.tobytes())
+    return buf.getvalue(), samples
+
+
+def test_wav_decode():
+    content, samples = _wav_bytes()
+    out, rate = codecs.decode_wav(content)
+    assert rate == 8000 and out.shape == (800, 1)
+    assert np.allclose(out[:, 0], samples / 32768.0, atol=1e-6)
+
+
+# ---------------------------------------------------------------- transforms
+
+
+def test_resize_nearest_exact():
+    px = _gradient(h=4, w=4)
+    up = codecs.resize_nearest(px, 8, 8)
+    assert up.shape == (8, 8, 3)
+    assert (up[::2, ::2] == px).all() or (up[1::2, 1::2] == px).all()
+    down = codecs.resize_nearest(px, 2, 2)
+    assert down.shape == (2, 2, 3)
+
+
+def test_image_features_respond_to_pixels():
+    dark = codecs.image_features(np.zeros((4, 4, 3), np.uint8))
+    light = codecs.image_features(np.full((4, 4, 3), 255, np.uint8))
+    assert dark[0] == 0.0 and light[0] == 1.0  # luminance mean
+    assert len(dark) == 16
+
+
+def test_sniff_format():
+    assert codecs.sniff_format(codecs.encode_png(_gradient())) == "png"
+    assert codecs.sniff_format(b"BM" + b"\x00" * 20) == "bmp"
+    assert codecs.sniff_format(_wav_bytes()[0]) == "wav"
+    assert codecs.sniff_format(b"garbage bytes here") is None
+
+
+# ---------------------------------------------------------------- Spark path
+
+
+def test_decode_features_uses_real_pixels(spark):
+    from kgx_spark.operators.multimodal import decode_features
+
+    dark = codecs.encode_png(np.zeros((6, 6, 3), np.uint8))
+    light = codecs.encode_png(np.full((6, 6, 3), 255, np.uint8))
+    wavb, _ = _wav_bytes()
+    media = spark.createDataFrame(
+        [("dark", "image", bytearray(dark)), ("light", "image", bytearray(light)),
+         ("tone", "audio", bytearray(wavb)), ("junk", "video", bytearray(b"not a codec"))],
+        "media_id string, kind string, content binary",
+    )
+    out = {r["media_id"]: r["feature"] for r in decode_features(media).collect()}
+    assert out["dark"][0] == 0.0 and out["light"][0] == 1.0   # real luminance
+    assert out["tone"][0] == pytest.approx(0.4314, abs=0.01)  # real RMS of a sine
+    assert len(out["junk"]) == 16                             # stub fallback
+
+
+def test_resize_images_real_png(spark):
+    from kgx_spark.operators.multimodal import resize_images
+
+    big = codecs.encode_png(_gradient(h=16, w=16))
+    media = spark.createDataFrame(
+        [("a", "image", bytearray(big), "image/png", (16, 16, None, None))],
+        "media_id string, kind string, content binary, mime string, "
+        "meta struct<width:int,height:int,duration_ms:int,sample_rate:int>",
+    )
+    row = resize_images(media, 4, 4).first()
+    resized = bytes(row["content"])
+    assert codecs.sniff_format(resized) == "png"
+    assert codecs.decode_png(resized).shape == (4, 4, 3)
+    assert row["meta"]["width"] == 4 and row["meta"]["height"] == 4
