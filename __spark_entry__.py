@@ -15,6 +15,8 @@ import os
 import tempfile
 from collections.abc import Callable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -935,6 +937,185 @@ def q_trapi_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL multimodal decode, oracle-gated: solid-color PNGs are built
+    deterministically from part rows (functions/codecs.encode_png), decoded
+    by the real PNG decoder inside decode_features (mapInPandas), and the
+    pixel-derived features have closed forms a SQL oracle can compute
+    (solid color v ⇒ luminance mean = v/255, std = 0, one hot histogram
+    bin). Colors are multiples of 51 so v/255 lands far from every 1e-6
+    rounding boundary regardless of float32 accumulation error."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from kgx_spark.operators.multimodal import decode_features
+
+    @pandas_udf("binary")
+    def _mk_png(v: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
+        from kgx_spark.functions.codecs import encode_png
+
+        return pd.Series(
+            [
+                encode_png(np.full((int(hh), int(ww), 3), int(vv), dtype=np.uint8))
+                for vv, ww, hh in zip(v, w, h)
+            ]
+        )
+
+    part = spark.read.parquet(f"{sf}/part.parquet")
+    k = F.col("p_partkey")
+    media = part.select(
+        F.concat(F.lit("P:"), k).alias("media_id"),
+        F.lit("image").alias("kind"),
+        _mk_png((k % 6 * 51).cast("int"), (k % 5 + 4).cast("int"), (k % 7 + 4).cast("int")).alias("content"),
+    )
+    out = decode_features(media)
+    return out.select(
+        "media_id",
+        F.array_join(
+            F.transform("feature", lambda x: F.round(x.cast("double") * 1e6, 0).cast("bigint")),
+            "|",
+        ).alias("feat_1e6"),
+    )
+
+
+_MEDIA_FEATURES_SQL = """
+    WITH t AS (
+        SELECT p_partkey AS k, (p_partkey % 6) * 51 AS v,
+               p_partkey % 5 + 4 AS w, p_partkey % 7 + 4 AS h
+        FROM part
+    ),
+    c AS (
+        SELECT 'P:' || k AS media_id,
+               CAST(round(v / 255.0 * 1000000) AS BIGINT) AS m,
+               CAST(round(LEAST(1.0, w / (h * 4.0)) * 1000000) AS BIGINT) AS a,
+               CASE v WHEN 0 THEN 0 WHEN 51 THEN 1 WHEN 102 THEN 3
+                      WHEN 153 THEN 4 WHEN 204 THEN 6 ELSE 7 END AS b
+        FROM t
+    )
+    SELECT media_id,
+           array_to_string([
+               m, 0, a, m, m, m,
+               CASE WHEN b = 0 THEN 1000000 ELSE 0 END,
+               CASE WHEN b = 1 THEN 1000000 ELSE 0 END,
+               CASE WHEN b = 2 THEN 1000000 ELSE 0 END,
+               CASE WHEN b = 3 THEN 1000000 ELSE 0 END,
+               CASE WHEN b = 4 THEN 1000000 ELSE 0 END,
+               CASE WHEN b = 5 THEN 1000000 ELSE 0 END,
+               CASE WHEN b = 6 THEN 1000000 ELSE 0 END,
+               CASE WHEN b = 7 THEN 1000000 ELSE 0 END,
+               0, 0
+           ], '|') AS feat_1e6
+    FROM c
+"""
+
+
+def q_sssom_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """SSSOM source round-trip (sssom_source.py:68-292): '#'-YAML header
+    (curie_map + set metadata copied onto every edge), row fan-out, and
+    long-tail mapping columns — file generated deterministically from part."""
+    from kgx_spark.sources.sssom import read_sssom
+
+    rows = spark.read.parquet(f"{sf}/part.parquet").select("p_partkey", "p_name").collect()
+    lines = [
+        "#curie_map:",
+        "#  HGNC: http://identifiers.org/hgnc/",
+        "#  MONDO: http://purl.obolibrary.org/obo/MONDO_",
+        "#mapping_provider: infores:part-mappings",
+        "subject_id\tsubject_label\tpredicate_id\tobject_id\tobject_label\tmapping_justification",
+    ]
+    for r in sorted(rows, key=lambda r: r["p_partkey"]):
+        k = r["p_partkey"]
+        lines.append(
+            f"HGNC:{k}\t{r['p_name']}\tskos:exactMatch\tMONDO:{k % 50}\tdis {k % 50}"
+            f"\tsemapv:ManualMappingCuration"
+        )
+    path = os.path.join(tempfile.mkdtemp(prefix="kgx_sssom_"), "m.sssom.tsv")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    _, edges, _ = read_sssom(spark, path)
+    return edges.select(
+        "subject", "predicate", "object", "mapping_justification", "mapping_provider"
+    )
+
+
+def q_obograph_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Obograph source round-trip (obograph_source.py:32-374): lbl/meta
+    definition/synonyms/xrefs, prefix→category inference, is_a predicate
+    normalization — JSON generated deterministically from part."""
+    import json as _json
+
+    from kgx_spark.sources.obograph import read_obograph
+
+    rows = spark.read.parquet(f"{sf}/part.parquet").select("p_partkey", "p_name").collect()
+    nodes_doc, edges_doc = [], []
+    for r in sorted(rows, key=lambda r: r["p_partkey"]):
+        k = r["p_partkey"]
+        nodes_doc.append({
+            "id": f"http://purl.obolibrary.org/obo/GO_{k}",
+            "lbl": r["p_name"],
+            "meta": {
+                "definition": {"val": f"def {k}"},
+                "synonyms": [{"pred": "hasExactSynonym", "val": f"syn{k}"}],
+                "xrefs": [{"val": f"X:{k}"}],
+            },
+        })
+        if k >= 2:
+            edges_doc.append({
+                "sub": f"http://purl.obolibrary.org/obo/GO_{k}",
+                "pred": "is_a",
+                "obj": f"http://purl.obolibrary.org/obo/GO_{k // 2}",
+            })
+    path = os.path.join(tempfile.mkdtemp(prefix="kgx_obo_"), "g.json")
+    with open(path, "w") as fh:
+        _json.dump({"graphs": [{"nodes": nodes_doc, "edges": edges_doc}]}, fh)
+    nodes, edges = read_obograph(spark, path)
+    return (
+        nodes.join(
+            edges.select(F.col("subject").alias("id"), "predicate", "object"),
+            on="id", how="left",
+        )
+        .select(
+            "id", "name", "description",
+            F.array_join("synonym", "|").alias("synonym"),
+            F.array_join("xref", "|").alias("xref"),
+            F.array_join("category", "|").alias("category"),
+            "predicate", "object",
+        )
+    )
+
+
+def q_rdf_nt_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """N-Triples source round-trip (rdf_source.py:128-355): node-property
+    dispatch (rdfs:label → name), plain edges with CURIE contraction, and
+    rdf:Statement DEREIFICATION — NT generated deterministically from part."""
+    from kgx_spark.sources.rdf_nt import read_ntriples
+
+    rows = spark.read.parquet(f"{sf}/part.parquet").select("p_partkey", "p_name").collect()
+    bl = "https://w3id.org/biolink/vocab/"
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    lines = []
+    for r in sorted(rows, key=lambda r: r["p_partkey"]):
+        k = r["p_partkey"]
+        s = f"<http://identifiers.org/hgnc/{k}>"
+        lines.append(f'{s} <http://www.w3.org/2000/01/rdf-schema#label> "{r["p_name"]}" .')
+        lines.append(f"{s} <{bl}related_to> <http://identifiers.org/ncbigene/{k % 100}> .")
+        if k % 3 == 0:
+            st = f"<urn:stmt:{k}>"
+            lines.append(f"{st} <{rdf}subject> <http://identifiers.org/hgnc/{k}> .")
+            lines.append(f"{st} <{rdf}predicate> <{bl}interacts_with> .")
+            lines.append(f"{st} <{rdf}object> <http://identifiers.org/ncbigene/{k % 7}> .")
+    path = os.path.join(tempfile.mkdtemp(prefix="kgx_nt_"), "g.nt")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    nodes, edges = read_ntriples(spark, path)
+    return (
+        edges.select("subject", "predicate", "object")
+        .join(nodes.select(F.col("id").alias("subject"), F.col("name").alias("subject_name")),
+              on="subject", how="left")
+        .select("subject", "predicate", "object", "subject_name")
+    )
+
+
 def _election_oracle_sql() -> str:
     """Closed-form oracle for the category election: the specificity depths
     come from the SAME snapshot (biolink_model.py) the Spark side broadcasts,
@@ -1036,6 +1217,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_ivf,
         "delimiter_sniff": q_delimiter_sniff,
         "trapi_roundtrip": q_trapi_roundtrip,
+        "media_features": q_media_features,
+        "sssom_roundtrip": q_sssom_roundtrip,
+        "obograph_roundtrip": q_obograph_roundtrip,
+        "rdf_nt_roundtrip": q_rdf_nt_roundtrip,
     }
 
 
@@ -1637,6 +1822,32 @@ def oracle_sql() -> dict[str, str]:
                    'infores:agg1|infores:agg' || (p_partkey % 5) AS provided_by_attr,
                    CASE WHEN p_partkey % 4 = 0 THEN 'increased' END AS direction_qualifier
             FROM part
+        """,
+        "media_features": _MEDIA_FEATURES_SQL,
+        "sssom_roundtrip": """
+            SELECT 'HGNC:' || p_partkey AS subject, 'skos:exactMatch' AS predicate,
+                   'MONDO:' || (p_partkey % 50) AS object,
+                   'semapv:ManualMappingCuration' AS mapping_justification,
+                   'infores:part-mappings' AS mapping_provider
+            FROM part
+        """,
+        "obograph_roundtrip": """
+            SELECT 'GO:' || p_partkey AS id, p_name AS name,
+                   'def ' || p_partkey AS description,
+                   'syn' || p_partkey AS synonym, 'X:' || p_partkey AS xref,
+                   'biolink:BiologicalProcessOrActivity' AS category,
+                   CASE WHEN p_partkey >= 2 THEN 'biolink:subclass_of' END AS predicate,
+                   CASE WHEN p_partkey >= 2 THEN 'GO:' || (p_partkey // 2) END AS object
+            FROM part
+        """,
+        "rdf_nt_roundtrip": """
+            SELECT 'HGNC:' || p_partkey AS subject, 'biolink:related_to' AS predicate,
+                   'NCBIGene:' || (p_partkey % 100) AS object, p_name AS subject_name
+            FROM part
+            UNION ALL
+            SELECT 'HGNC:' || p_partkey, 'biolink:interacts_with',
+                   'NCBIGene:' || (p_partkey % 7), p_name
+            FROM part WHERE p_partkey % 3 = 0
         """,
     }
 
