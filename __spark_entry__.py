@@ -1116,6 +1116,92 @@ def q_rdf_nt_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tsv_tar_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """TSV sink→source round-trip THROUGH a tar.gz archive
+    (tsv_sink.py:39-238 + tsv_source.py:83-113): reference column ordering,
+    '|'-list join/split, tar packaging, delimiter sniffing on re-read."""
+    from kgx_spark.sinks.tsv import write_kgx_tsv
+    from kgx_spark.sources.tsv import read_kgx_tsv
+
+    base = os.path.join(tempfile.mkdtemp(prefix="kgx_tar_"), "graph")
+    write_kgx_tsv(FX.nodes_a(spark, sf), FX.edges(spark, sf), base, compression="tar.gz")
+    nodes, edges = read_kgx_tsv(spark, base + ".tar.gz")
+    n = nodes.select(
+        "id", "name", _joined("category"), _joined("provided_by"), "p1", _joined("xref")
+    )
+    e = (
+        edges.select("subject", "predicate", "object", "relation", _joined("provided_by"))
+        .withColumnRenamed("provided_by", "edge_provided_by")
+        .groupBy("subject")
+        .agg(F.count("*").alias("n_edges"))
+    )
+    return n.join(e, n["id"] == e["subject"], "left").select(
+        "id", "name", "category", "provided_by", "p1", "xref",
+        F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+    )
+
+
+def q_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Monolithic KGX JSON sink→source round-trip (json_sink.py:13-101 /
+    json_source.py:23-100): {"nodes":[…],"edges":[…]} single-doc format."""
+    from kgx_spark.sinks.trapi import write_kgx_json
+    from kgx_spark.sources.json_source import read_kgx_json
+
+    path = os.path.join(tempfile.mkdtemp(prefix="kgx_json_"), "g.json")
+    nodes = FX.nodes_a(spark, sf)
+    edges = FX.edges(spark, sf).select("subject", "predicate", "object", "relation")
+    write_kgx_json(nodes, edges, path)
+    n2, e2 = read_kgx_json(spark, path)
+    return (
+        n2.select("id", "name", _joined("category"), "p1")
+        .join(
+            e2.groupBy(F.col("subject").alias("id")).agg(F.count("*").alias("n_edges")),
+            on="id", how="left",
+        )
+        .select("id", "name", "category", "p1", F.coalesce("n_edges", F.lit(0)).alias("n_edges"))
+    )
+
+
+def q_duckdb_pushdown(spark: SparkSession, sf: str) -> DataFrame:
+    """DuckDbSource with filter→WHERE pushdown (duckdb_source.py:52-238):
+    a temp .duckdb file is populated from part, read back with a category
+    filter pushed into the SQL."""
+    import duckdb
+
+    from kgx_spark.sources.duckdb_source import read_duckdb
+
+    db = os.path.join(tempfile.mkdtemp(prefix="kgx_ddb_"), "g.duckdb")
+    con = duckdb.connect(db)
+    con.execute(f"""
+        CREATE TABLE nodes AS
+        SELECT 'P:' || p_partkey AS id, p_name AS name,
+               CASE WHEN p_size % 3 = 0 THEN 'biolink:Gene'
+                    WHEN p_size % 3 = 1 THEN 'biolink:Disease'
+                    ELSE 'biolink:ChemicalEntity' END AS category
+        FROM read_parquet('{sf}/part.parquet')
+    """)
+    con.close()
+    nodes, _ = read_duckdb(spark, db, node_filters={"category": {"biolink:Gene", "biolink:Disease"}})
+    # sanitize on ingest typed the declared-multivalued category as a list
+    return nodes.select("id", "name", _joined("category"))
+
+
+def q_provenance_default(spark: SparkSession, sf: str) -> DataFrame:
+    """Provenance defaulting (kgx/utils/infores.py:326-459, filename default
+    at transformer.py:211): rows missing provided_by get the default; rows
+    carrying it keep it."""
+    from kgx_spark.functions.infores import default_provenance
+
+    part = spark.read.parquet(f"{sf}/part.parquet")
+    k = F.col("p_partkey")
+    nodes = part.select(
+        F.concat(F.lit("P:"), k).alias("id"),
+        F.when(k % 4 == 0, F.array(F.lit("infores:explicit"))).alias("provided_by"),
+    )
+    out = default_provenance(nodes, "g_nodes")
+    return out.select("id", _joined("provided_by"))
+
+
 def _election_oracle_sql() -> str:
     """Closed-form oracle for the category election: the specificity depths
     come from the SAME snapshot (biolink_model.py) the Spark side broadcasts,
@@ -1221,6 +1307,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssom_roundtrip": q_sssom_roundtrip,
         "obograph_roundtrip": q_obograph_roundtrip,
         "rdf_nt_roundtrip": q_rdf_nt_roundtrip,
+        "tsv_tar_roundtrip": q_tsv_tar_roundtrip,
+        "json_roundtrip": q_json_roundtrip,
+        "duckdb_pushdown": q_duckdb_pushdown,
+        "provenance_default": q_provenance_default,
     }
 
 
@@ -1848,6 +1938,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'HGNC:' || p_partkey, 'biolink:interacts_with',
                    'NCBIGene:' || (p_partkey % 7), p_name
             FROM part WHERE p_partkey % 3 = 0
+        """,
+        "tsv_tar_roundtrip": f"""
+            SELECT 'P:' || p_partkey AS id, p_name AS name,
+                   list_sort([{_PART_CAT_SQL}, 'biolink:NamedThing'])[1] || '|' ||
+                   list_sort([{_PART_CAT_SQL}, 'biolink:NamedThing'])[2] AS category,
+                   'infores:part' AS provided_by,
+                   CASE WHEN p_partkey % 2 = 0 THEN 'even' ELSE 'odd' END AS p1,
+                   'X:' || p_partkey AS xref,
+                   (SELECT count(*) FROM lineitem WHERE l_partkey = p_partkey)::BIGINT AS n_edges
+            FROM part
+        """,
+        "json_roundtrip": """
+            SELECT 'P:' || p_partkey AS id, p_name AS name,
+                   list_sort([CASE WHEN p_size % 3 = 0 THEN 'biolink:Gene'
+                                   WHEN p_size % 3 = 1 THEN 'biolink:Disease'
+                                   ELSE 'biolink:ChemicalEntity' END,
+                              'biolink:NamedThing'])[1] || '|' ||
+                   list_sort([CASE WHEN p_size % 3 = 0 THEN 'biolink:Gene'
+                                   WHEN p_size % 3 = 1 THEN 'biolink:Disease'
+                                   ELSE 'biolink:ChemicalEntity' END,
+                              'biolink:NamedThing'])[2] AS category,
+                   CASE WHEN p_partkey % 2 = 0 THEN 'even' ELSE 'odd' END AS p1,
+                   (SELECT count(*) FROM lineitem WHERE l_partkey = p_partkey)::BIGINT AS n_edges
+            FROM part
+        """,
+        "duckdb_pushdown": """
+            SELECT 'P:' || p_partkey AS id, p_name AS name,
+                   CASE WHEN p_size % 3 = 0 THEN 'biolink:Gene'
+                        ELSE 'biolink:Disease' END AS category
+            FROM part WHERE p_size % 3 IN (0, 1)
+        """,
+        "provenance_default": """
+            SELECT 'P:' || p_partkey AS id,
+                   CASE WHEN p_partkey % 4 = 0 THEN 'infores:explicit'
+                        ELSE 'g_nodes' END AS provided_by
+            FROM part
         """,
     }
 
