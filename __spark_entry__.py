@@ -1202,6 +1202,54 @@ def q_provenance_default(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("id", _joined("provided_by"))
 
 
+def q_transform_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """The transform ORCHESTRATION end-to-end (kgx/transformer.py:135-299 +
+    kgx_utils.py:1067-1085 apply_graph_operations dispatch): TSV source →
+    category node-filter → seen-node edge gating → fold_predicate operation
+    → null sink. Gates the two remaining pytest-only §2 rows (dispatch +
+    seen-node gating) with a closed-form oracle."""
+    from kgx_spark.transform import transform
+
+    rows = spark.read.parquet(f"{sf}/part.parquet").select("p_partkey", "p_name").collect()
+    d = tempfile.mkdtemp(prefix="kgx_xform_")
+    nl = ["id\tname\tcategory"]
+    el = ["subject\tpredicate\tobject"]
+    for r in sorted(rows, key=lambda r: r["p_partkey"]):
+        k = r["p_partkey"]
+        cat = "biolink:Gene" if k % 2 == 0 else "biolink:Disease"
+        nl.append(f"P:{k}\t{r['p_name']}\t{cat}")
+        pred = "biolink:interacts_with" if k % 3 == 0 else "biolink:related_to"
+        el.append(f"P:{k}\t{pred}\tP:{(k % 50) * 2}")
+    with open(os.path.join(d, "g_nodes.tsv"), "w") as fh:
+        fh.write("\n".join(nl) + "\n")
+    with open(os.path.join(d, "g_edges.tsv"), "w") as fh:
+        fh.write("\n".join(el) + "\n")
+    nodes, edges = transform(
+        spark,
+        {"filename": d, "format": "tsv", "node_filters": {"category": {"biolink:Gene"}}},
+        {"filename": os.path.join(d, "out"), "format": "null"},
+        operations=[{"name": "fold_predicate",
+                     "args": {"predicate": "biolink:interacts_with", "remove_prefix": True}}],
+    )
+    return (
+        nodes.select("id", "interacts_with")
+        .join(
+            edges.groupBy(F.col("subject").alias("id")).agg(F.count("*").alias("n_edges")),
+            on="id", how="left",
+        )
+        .select("id", "interacts_with", F.coalesce("n_edges", F.lit(0)).alias("n_edges"))
+    )
+
+
+_TRANSFORM_OPS_SQL = """
+    SELECT 'P:' || p_partkey AS id,
+           CASE WHEN p_partkey % 3 = 0
+                THEN 'P:' || ((p_partkey % 50) * 2) END AS interacts_with,
+           (CASE WHEN p_partkey % 3 <> 0 THEN 1 ELSE 0 END)::BIGINT AS n_edges
+    FROM part WHERE p_partkey % 2 = 0
+"""
+
+
 def _election_oracle_sql() -> str:
     """Closed-form oracle for the category election: the specificity depths
     come from the SAME snapshot (biolink_model.py) the Spark side broadcasts,
@@ -1311,6 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_roundtrip": q_json_roundtrip,
         "duckdb_pushdown": q_duckdb_pushdown,
         "provenance_default": q_provenance_default,
+        "transform_ops": q_transform_ops,
     }
 
 
@@ -1975,6 +2024,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'g_nodes' END AS provided_by
             FROM part
         """,
+        "transform_ops": _TRANSFORM_OPS_SQL,
     }
 
 
