@@ -147,6 +147,24 @@ def main() -> None:
 
     timed("ann_topk_lsh", lambda: _noop(lsh_topk(queries, emb, dim=64, k=5, planes=8, tables=8)))
 
+    # 4. entity linking (north-rule stage 2: mention detection + broadcast
+    # alias-dictionary join + TF-IDF candidate scoring)
+    def _link():
+        from kgx_spark.pipeline.extract import extract_text
+        from kgx_spark.pipeline.link import detect_mentions, link_mentions
+        from kgx_spark.pipeline.synth import synth_alias_dict, synth_pages
+
+        raw_pages = synth_pages(spark, sf_dir)
+        n_pages = raw_pages.count()
+        linked = link_mentions(
+            detect_mentions(extract_text(raw_pages)),
+            synth_alias_dict(spark, sf_dir),
+            n_pages=n_pages,
+        )
+        return _noop(linked)
+
+    timed("entity_link", _link)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_total",

@@ -26,25 +26,37 @@ def detect_mentions(
     pages: DataFrame, max_ngram: int = 3, text_col: str = "extracted_text"
 ) -> DataFrame:
     """(url, mention, pos) candidate surface forms: all 1..max_ngram word
-    n-grams, lowercased. Batched: posexplode + JVM slice/join per n —
-    no per-row Python."""
-    toks = pages.select(
-        "url", F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "w")
-    )
-    # n-grams via self-free window concat: collect forward words with lead()
-    w = Window.partitionBy("url").orderBy("pos")
-    cols = {"w0": F.col("w")}
-    for i in range(1, max_ngram):
-        cols[f"w{i}"] = F.lead("w", i).over(w)
-    g = toks.withColumns(cols)
+    n-grams, lowercased; ``pos`` is the starting token index.
+
+    SHUFFLE-FREE: n-grams are built inside the token ARRAY with
+    transform+element_at before any explode, so the whole stage is a narrow
+    map over the page scan. (The previous design posexploded tokens and ran
+    lead() over a (url, pos) window — a full shuffle AND sort of the entire
+    token stream, per n-gram length; at 10^12 documents that shuffle IS the
+    job. Same output, zero exchanges.)"""
+    toks_col = tokens(F.lower(F.col(text_col)))
+    base = pages.select("url", toks_col.alias("_toks"))
+    t = F.col("_toks")
     grams = []
     for n in range(1, max_ngram + 1):
-        parts = [F.col(f"w{i}") for i in range(n)]
-        cond = parts[-1].isNotNull()
+        # element i (0-based) → concat of tokens[i+1 .. i+n] (element_at is
+        # 1-based); positions past size-n yield null and are filtered, so
+        # posexplode's pos == the n-gram's starting token index
+        gram_arr = F.filter(
+            F.transform(
+                t,
+                lambda x, i: F.when(
+                    i + n <= F.size(t),
+                    F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)]),
+                ),
+            ),
+            lambda v: v.isNotNull(),
+        )
         grams.append(
-            g.where(cond).select(
-                "url", F.col("pos"), F.concat_ws(" ", *parts).alias("mention"), F.lit(n).alias("ngram_len")
-            )
+            base.select(
+                "url",
+                F.posexplode(gram_arr).alias("pos", "mention"),
+            ).withColumn("ngram_len", F.lit(n))
         )
     out = grams[0]
     for e in grams[1:]:

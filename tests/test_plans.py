@@ -209,3 +209,16 @@ def test_derive_planes_scales_with_corpus():
     assert derive_planes(128 * 1024, target_bucket_size=128) == 10
     assert derive_planes(10_000_000_000, target_bucket_size=128) == 24  # cap
     assert derive_planes(2_000_000, target_bucket_size=128) == 14
+
+
+def test_mention_detection_has_no_shuffle(spark):
+    """detect_mentions must stay a narrow map over the page scan: n-grams
+    are built inside the token array, never via a windowed token shuffle
+    (at corpus scale that shuffle would dominate the linking stage)."""
+    from kgx_spark.pipeline.link import detect_mentions
+
+    pages = spark.createDataFrame(
+        [("u1", "alpha beta gamma")], "url string, extracted_text string"
+    )
+    p = plan_of(detect_mentions(pages))
+    assert "Exchange" not in p and "Window" not in p

@@ -80,3 +80,57 @@ def test_distributed_cc_matches_union_find_random_graphs(spark):
             labels, _ = connected_components(df, driver_threshold=0, encode_ids=encode)
             got = {r["id"]: r["component"] for r in labels.collect()}
             assert got == expected, f"trial={trial} encode={encode}"
+
+
+def test_png_roundtrip_property():
+    """encode_png ∘ decode_png == identity on random images of every
+    supported channel count and shape (hypothesis-generated pixels)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    from kgx_spark.functions.codecs import decode_png, encode_png
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.integers(1, 12), st.integers(1, 12), st.sampled_from([1, 3, 4]),
+        st.integers(0, 2**32 - 1),
+    )
+    def check(h, w, c, seed):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        assert (decode_png(encode_png(px)) == px).all()
+
+    check()
+
+
+def test_rdfxml_conversion_deterministic_property():
+    """Same RDF/XML bytes → byte-identical N-Triples across repeated runs,
+    for generated documents mixing resources, literals, and nesting."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kgx_spark.sources.rdf_xml import rdfxml_to_nt
+
+    name = st.text(alphabet="abcdefgh", min_size=1, max_size=6)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.tuples(name, name, st.booleans()), min_size=1, max_size=8))
+    def check(rows):
+        body = "".join(
+            f'<rdf:Description rdf:about="http://x.org/{s}">'
+            + (f'<ex:p rdf:resource="http://x.org/{o}"/>' if is_res
+               else f"<ex:p>{o}</ex:p>")
+            + "</rdf:Description>"
+            for s, o, is_res in rows
+        )
+        doc = (
+            '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+            'xmlns:ex="http://x.org/ns/">' + body + "</rdf:RDF>"
+        ).encode()
+        out1, out2 = rdfxml_to_nt(doc), rdfxml_to_nt(doc)
+        assert out1 == out2
+        assert len([ln for ln in out1.splitlines() if ln]) == len(rows)
+
+    check()
