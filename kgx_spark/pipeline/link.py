@@ -89,6 +89,12 @@ def link_mentions(
     if idf_weighting:
         if n_pages is None:
             n_pages = mentions.select("url").distinct().count()
+        # materialize hits ONCE: the idf table is an aggregate OF hits that
+        # then joins BACK to hits — unmaterialized, the n-gram explode and
+        # dictionary join would execute twice (measured ~2× the linking
+        # stage wall at sf0.1). hits ≪ mentions (dictionary matches only),
+        # so the checkpoint is small even when the corpus isn't.
+        hits = hits.localCheckpoint()
         df_tbl = hits.groupBy("mention").agg(F.countDistinct("url").alias("df"))
         hits = hits.join(F.broadcast(df_tbl), on="mention").withColumn(
             "score", F.col("prior") * F.log(F.lit(float(n_pages) + 1.0) / (F.col("df") + 1.0))
