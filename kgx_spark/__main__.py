@@ -40,6 +40,11 @@ def main(argv: list[str] | None = None) -> int:
     g = sub.add_parser("graph-summary", help="kgx graph-summary (cli_utils.py:68-164)")
     _io_args(g)
     g.add_argument("-o", "--output", default=None)
+    g.add_argument(
+        "--report-type", default="kgx-map",
+        choices=["kgx-map", "meta-knowledge-graph"],
+        help="summary report type (cli_utils.py:21 summary_report_types)",
+    )
 
     v = sub.add_parser("validate", help="kgx validate (cli_utils.py:167-229)")
     _io_args(v)
@@ -85,11 +90,17 @@ def main(argv: list[str] | None = None) -> int:
         nodes, edges = merge(spark, sources, {"filename": dest["filename"], "format": dest["format"]})
         print(json.dumps({"nodes": nodes.count(), "edges": edges.count()}))
     elif args.cmd == "graph-summary":
-        from kgx_spark.operators.summary import summarize_graph
         from kgx_spark.transform import read_source
 
         nodes, edges = read_source(spark, input_args())
-        stats = summarize_graph(nodes, edges)
+        if args.report_type == "meta-knowledge-graph":
+            from kgx_spark.operators.meta_kg import meta_knowledge_graph
+
+            stats = meta_knowledge_graph(nodes, edges)
+        else:
+            from kgx_spark.operators.summary import summarize_graph
+
+            stats = summarize_graph(nodes, edges)
         out = json.dumps(stats, indent=2, default=str)
         if args.output:
             with open(args.output, "w") as fh:

@@ -155,3 +155,16 @@ def test_cli_transform_and_summary(spark, tsv_dir, tmp_path, capsys):
     assert rc == 0
     stats = json.loads(capsys.readouterr().out)
     assert stats["node_stats"]["total_nodes"] == 3
+
+
+def test_cli_meta_knowledge_graph_report(spark, tsv_dir, capsys):
+    import json as _json
+
+    from kgx_spark.__main__ import main
+
+    rc = main(["graph-summary", "--input-format", "tsv", "-i", str(tsv_dir),
+               "--report-type", "meta-knowledge-graph"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert "nodes" in out and "edges" in out
+    assert all("id_prefixes" in v and "count" in v for v in out["nodes"].values())
