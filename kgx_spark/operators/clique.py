@@ -131,11 +131,16 @@ def connected_components(
             except Exception:  # stats unavailable (connect mode etc.) — row guard only
                 pass
         if small:
+            import pandas as pd
+
             pdf = distinct_pairs.toPandas()
             rows = list(zip(pdf["src"], pdf["dst"]))
-            labels = pairs.sparkSession.createDataFrame(
-                _driver_union_find(rows) or [("", "")], "id string, component string"
-            ).where(F.col("id") != "")
+            found = _driver_union_find(rows)
+            # ship labels back through Arrow (a pandas frame), not a Python
+            # row list — per-row pickling of ~100k label tuples measurably
+            # taxed the canonical stage
+            out = pd.DataFrame(found or [("", "")], columns=["id", "component"])
+            labels = pairs.sparkSession.createDataFrame(out).where(F.col("id") != "")
             return labels, 0
     sym = (
         distinct_pairs.unionByName(distinct_pairs.selectExpr("dst as src", "src as dst"))
