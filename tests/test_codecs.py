@@ -204,3 +204,27 @@ def test_resize_images_real_png(spark):
     assert codecs.sniff_format(resized) == "png"
     assert codecs.decode_png(resized).shape == (4, 4, 3)
     assert row["meta"]["width"] == 4 and row["meta"]["height"] == 4
+
+
+def test_decode_features_never_raises_on_garbage():
+    """A 100 TB corpus WILL contain malformed blobs: the feature extractor
+    must fall back to the deterministic stub, never raise (hypothesis fuzz
+    over arbitrary byte strings, plus truncations of valid media)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kgx_spark.operators.multimodal import FEATURE_DIM, _decode_features
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.binary(max_size=300))
+    def check(blob):
+        out = _decode_features(blob)
+        assert out is None or len(out) == FEATURE_DIM
+
+    check()
+    # truncated-but-sniffable media: magic bytes present, body broken
+    png = codecs.encode_png(_gradient())
+    wav = _wav_bytes()[0]
+    for blob in (png[:20], png[:-5], wav[:16], b"BM" + b"\x01" * 30, b"P6 2 2 255\n\x00"):
+        out = _decode_features(blob)
+        assert out is None or len(out) == FEATURE_DIM
