@@ -308,6 +308,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     quantize_scores: bool = False,
     max_bucket_size: int | None = 10_000,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: score only pairs sharing a bucket in ANY table.
 
@@ -320,6 +321,13 @@ def lsh_topk(
     scale that is the difference between a bounded join and an accidental
     cross product). Queries whose only collisions were in dropped buckets
     simply return fewer/no candidates — the standard LSH recall trade.
+
+    ``multiprobe`` > 0 additionally probes, PER QUERY, the buckets reachable
+    by flipping any 1..multiprobe sign bits (multi-probe LSH, Lv et al.,
+    VLDB'07): a true neighbor that landed just across one hyperplane is
+    recovered without adding tables. Only the QUERY side expands (×
+    C(planes, ≤multiprobe) rows) — the corpus-side shuffle volume, the
+    scale-critical term, is unchanged.
     """
 
     def bucketed(df: DataFrame, idc: str, vc: str) -> DataFrame:
@@ -330,6 +338,18 @@ def lsh_topk(
         )
 
     q = bucketed(queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")), "query_id", "_qv")
+    if multiprobe > 0:
+        from itertools import combinations
+
+        masks = [0]
+        for r in range(1, multiprobe + 1):
+            masks.extend(
+                sum(1 << p for p in bits) for bits in combinations(range(planes), r)
+            )
+        q = q.withColumn(
+            "_bucket",
+            F.explode(F.array(*[F.col("_bucket").bitwiseXOR(F.lit(m)) for m in sorted(set(masks))])),
+        )
     c = bucketed(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")), "neighbor_id", "_cv")
     if max_bucket_size is not None:
         c = _cap_buckets(c, ["_table", "_bucket"], max_bucket_size)
