@@ -468,7 +468,13 @@ def q_minhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
-    return lsh_candidate_pairs(_docs(spark, sf), num_hashes=4, bands=2)
+    # max_bucket_size=100 BINDS on this corpus (template-heavy buckets of
+    # ~400 docs at sf0.01) — the oracle replays the cap via QUALIFY, so the
+    # at-scale default behavior (degenerate-bucket drop) is itself
+    # correctness-gated, not just the exact banding.
+    return lsh_candidate_pairs(
+        _docs(spark, sf), num_hashes=4, bands=2, max_bucket_size=100
+    )
 
 
 def q_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -1600,9 +1606,15 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT doc_id, 2, h4 || '_' || h5 FROM sigs
                 UNION ALL SELECT doc_id, 3, h6 || '_' || h7 FROM sigs
             ),
+            capped AS (
+                -- replays curate_corpus's max_bucket_size=10000 default
+                -- (non-binding at this scale, faithfully replayed anyway)
+                SELECT doc_id, band, key FROM banded
+                QUALIFY count(*) OVER (PARTITION BY band, key) <= 10000
+            ),
             cand AS (
                 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+                FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key
                 WHERE a.doc_id < b.doc_id
             ),
             sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM w GROUP BY doc_id),
@@ -1734,9 +1746,13 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, 0 AS band, h0 || '_' || h1 AS key FROM sigs
                 UNION ALL
                 SELECT doc_id, 1 AS band, h2 || '_' || h3 AS key FROM sigs
+            ),
+            capped AS (
+                SELECT doc_id, band, key FROM banded
+                QUALIFY count(*) OVER (PARTITION BY band, key) <= 100
             )
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+            FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key
             WHERE a.doc_id < b.doc_id
         """,
         "ngram_jaccard": f"""

@@ -87,11 +87,25 @@ def contract(col: Column, prefix_map: dict[str, str] | None = None) -> Column:
 
 
 def expand(col: Column, prefix_map: dict[str, str] | None = None) -> Column:
-    """CURIE → URI (prefix_manager.py:104-124). Unknown prefixes pass through."""
+    """CURIE → URI (prefix_manager.py:104-124).
+
+    Symmetric to ``contract``: map entries win; CURIEs whose prefix is not in
+    the map but matches the OBO shape (``[A-Za-z][A-Za-z0-9]*``) expand via
+    the generic OBO-PURL rule ``PFX:ref → http://purl.obolibrary.org/obo/
+    PFX_ref`` — the inverse of contract's fallback, so contract∘expand is
+    lossless for the whole OBO family (round-3 ADVICE; the reference gets
+    the same symmetry from the full Biolink JSON-LD context carrying one
+    entry per OBO ontology). Other unknown prefixes pass through.
+    """
     pm = prefix_map or DEFAULT_PREFIX_MAP
     pfx = curie_prefix(col)
     mapping = F.create_map(*[F.lit(x) for kv in pm.items() for x in kv])
     uri = F.element_at(mapping, pfx)
-    return F.when(
-        is_curie(col) & uri.isNotNull(), F.concat(uri, curie_reference(col))
-    ).otherwise(col)
+    obo = F.when(
+        pfx.rlike(r"^[A-Za-z][A-Za-z0-9]*$"),
+        F.concat(
+            F.lit("http://purl.obolibrary.org/obo/"), pfx, F.lit("_"), curie_reference(col)
+        ),
+    )
+    expanded = F.when(uri.isNotNull(), F.concat(uri, curie_reference(col))).otherwise(obo)
+    return F.when(is_curie(col) & expanded.isNotNull(), expanded).otherwise(col)

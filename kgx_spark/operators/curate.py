@@ -31,7 +31,7 @@ def curate_corpus(
     jaccard_threshold: float = 0.9,
     num_hashes: int = 8,
     bands: int = 4,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """→ kept documents: (doc_id, n_tokens, cluster, cluster_size).
 
@@ -41,6 +41,10 @@ def curate_corpus(
       clustered transitively; the min doc id of each cluster is kept.
       ``cluster`` is that representative id, ``cluster_size`` counts the
       quality-passing exact-representatives it absorbed (1 = unique doc).
+
+    ``max_bucket_size`` defaults ON (10_000, inherited by the LSH stage —
+    see lsh_candidate_pairs): degenerate template-heavy buckets are dropped
+    before the candidate self-join. ``None`` opts out (exact banding).
     """
     q = quality_features(docs, text_col=text_col).select(
         F.col(id_col), F.col("n_tokens")

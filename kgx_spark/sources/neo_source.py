@@ -93,9 +93,22 @@ def _edge_where(edge_filters: Mapping[str, Any] | None) -> str:
 
 
 def build_nodes_query(
-    node_filters: Mapping[str, Any] | None = None, skip: int = 0, limit: int = 0
+    node_filters: Mapping[str, Any] | None = None,
+    skip: int = 0,
+    limit: int = 0,
+    ordered: bool = False,
 ) -> str:
-    """`MATCH (n) [WHERE …] RETURN n SKIP x [LIMIT y]` (neo_source.py:154-191)."""
+    """`MATCH (n) [WHERE …] RETURN n [ORDER BY id(n)] SKIP x [LIMIT y]`
+    (neo_source.py:154-191).
+
+    ``ordered=False`` is the reference's exact text (it pages one sequential
+    session, where Neo4j happens to keep a stable scan order). The
+    DISTRIBUTED fetch sets ``ordered=True``: each page runs in an independent
+    bolt session/transaction, and without a stable sort key Neo4j makes no
+    cross-transaction ordering guarantee — pages could overlap or skip rows.
+    Even ordered, concurrent writes can shift id() pages: distributed reads
+    assume a quiesced database (same caveat as any snapshotless paged scan).
+    """
     query = "MATCH (n)"
     if node_filters:
         qs = []
@@ -105,7 +118,10 @@ def build_nodes_query(
             qs.append(f"({format_node_filter(node_filters, 'provided_by', 'n', '.')})")
         if qs:
             query += " WHERE " + " AND ".join(qs)
-    query += f" RETURN n SKIP {skip}"
+    query += " RETURN n"
+    if ordered:
+        query += " ORDER BY id(n)"
+    query += f" SKIP {skip}"
     if limit:
         query += f" LIMIT {limit}"
     return query
@@ -116,12 +132,17 @@ def build_edges_query(
     skip: int = 0,
     limit: int = 0,
     is_directed: bool = True,
+    ordered: bool = False,
 ) -> str:
-    """`MATCH (s)-[p]->(o) [WHERE …] RETURN s,p,o SKIP x [LIMIT y]`
-    (neo_source.py:211-301)."""
+    """`MATCH (s)-[p]->(o) [WHERE …] RETURN s,p,o [ORDER BY id(p)] SKIP x
+    [LIMIT y]` (neo_source.py:211-301). See build_nodes_query for the
+    ``ordered`` contract (stable paging across independent sessions)."""
     direction = "->" if is_directed else "-"
     query = f"MATCH (s)-[p]{direction}(o)" + _edge_where(edge_filters)
-    query += f" RETURN s, p, o SKIP {skip}"
+    query += " RETURN s, p, o"
+    if ordered:
+        query += " ORDER BY id(p)"
+    query += f" SKIP {skip}"
     if limit:
         query += f" LIMIT {limit}"
     return query
@@ -175,10 +196,14 @@ def read_neo(
                     for pdf in batches:
                         out = []
                         for skip, limit in zip(pdf["skip"], pdf["limit"]):
+                            # ordered=True: stable ORDER BY id() paging —
+                            # each page is its own session/transaction, so an
+                            # unordered SKIP/LIMIT could duplicate or miss
+                            # rows (round-3 ADVICE)
                             q = (
-                                build_nodes_query(node_filters, int(skip), int(limit))
+                                build_nodes_query(node_filters, int(skip), int(limit), ordered=True)
                                 if kind == "nodes"
-                                else build_edges_query(edge_filters, int(skip), int(limit))
+                                else build_edges_query(edge_filters, int(skip), int(limit), ordered=True)
                             )
                             for rec in session.run(q):
                                 if kind == "nodes":

@@ -108,6 +108,39 @@ def test_unwind_queries_match_reference_shapes():
     assert "REQUIRE n.id IS UNIQUE" in create_constraint_query("`biolink:Gene`")
 
 
+def test_ordered_paging_queries():
+    """Distributed paging must carry a stable sort key: each page runs in an
+    independent bolt session, and unordered SKIP/LIMIT across transactions
+    can duplicate or miss rows (round-3 ADVICE). Default stays unordered —
+    the reference's exact single-session text."""
+    from kgx_spark.sources.neo_source import build_edges_query, build_nodes_query
+
+    nq = build_nodes_query({"category": {"biolink:Gene"}}, skip=50000, limit=50000, ordered=True)
+    assert "RETURN n ORDER BY id(n) SKIP 50000 LIMIT 50000" in nq
+    eq = build_edges_query(skip=0, limit=50000, ordered=True)
+    assert "RETURN s, p, o ORDER BY id(p) SKIP 0 LIMIT 50000" in eq
+    # reference-parity text unchanged when unordered
+    assert "ORDER BY" not in build_nodes_query(skip=0, limit=10)
+    assert "ORDER BY" not in build_edges_query(skip=0, limit=10)
+
+
+def test_multi_category_cache_key_to_cypher_label():
+    """Multi-category nodes: the '|'-joined cache key must convert to ':' in
+    label position (reference neo_sink.py:87-89 — raw '|' between labels is
+    invalid Cypher), and constraint DDL takes one backticked label at a time
+    (neo_sink.py:243-261)."""
+    from kgx_spark.sinks.neo_sink import CATEGORY_DELIMITER, CYPHER_CATEGORY_DELIMITER
+
+    key = CATEGORY_DELIMITER.join(sanitize_category(["biolink:Disease", "biolink:Gene"]))
+    assert key == "`biolink:Disease`|`biolink:Gene`"
+    cypher_key = key.replace(CATEGORY_DELIMITER, CYPHER_CATEGORY_DELIMITER)
+    nq = generate_unwind_node_query(cypher_key)
+    assert "ON CREATE SET n += node, n:`biolink:Disease`:`biolink:Gene`" in nq
+    assert "|" not in nq
+    cq = create_constraint_query("`biolink:Gene`")
+    assert "FOR (n:`biolink:Gene`)" in cq
+
+
 # ------------------------------------------------------------------ AQL
 
 

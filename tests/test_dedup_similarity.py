@@ -152,6 +152,42 @@ def test_fingerprint_order_invariant(spark):
     assert rows[1] != rows[3]
 
 
+def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
+    """The scale-killer shape: template-heavy corpora where near-identical
+    pages share ALL band keys (exact dedup upstream only removes
+    byte-identical texts). The bucket cap must (a) default ON and (b) bound
+    the candidate-pair count on a degenerate corpus instead of going k²."""
+    import inspect
+
+    from kgx_spark.operators.curate import curate_corpus
+
+    # defaults are ON (10k, matching the embedding-LSH paths) — None is an
+    # explicit opt-out, not the default
+    assert inspect.signature(lsh_candidate_pairs).parameters["max_bucket_size"].default == 10_000
+    assert inspect.signature(curate_corpus).parameters["max_bucket_size"].default == 10_000
+
+    n = 600
+    template = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("breaking news site navigation home about contact copyright "
+                  "footer all rights reserved article number "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    uncapped = lsh_candidate_pairs(template, num_hashes=8, bands=4, max_bucket_size=None)
+    capped = lsh_candidate_pairs(template, num_hashes=8, bands=4, max_bucket_size=100)
+    n_uncapped, n_capped = uncapped.count(), capped.count()
+    # uncapped: nearly every doc shares a band key with every other (the one
+    # varying token occasionally wins a minhash slot) → essentially the full
+    # k(k-1)/2 blowup
+    assert n_uncapped >= 0.95 * (n * (n - 1) // 2)
+    # capped: the degenerate buckets (> 100 members) are dropped entirely —
+    # bounded far below quadratic
+    assert n_capped <= 4 * 100 * 99 // 2
+    assert n_capped < n_uncapped
+
+
 def test_jaccard_candidate_restricted_matches_exact(spark, docs):
     """The candidate-restricted path must agree with the exact path on every
     pair the candidate set contains (the LSH → verify composition)."""

@@ -47,9 +47,23 @@ def test_contract_expand_roundtrip(spark):
     iri = "https://w3id.org/biolink/vocab/Gene"
     assert one(spark, contract(F.lit(iri))) == "biolink:Gene"
     assert one(spark, expand(F.lit("biolink:Gene"))) == iri
-    # unknown prefix passes through
+    # unknown URI passes through contract; unknown NON-OBO-shaped prefix
+    # passes through expand
     assert one(spark, contract(F.lit("http://unknown.example/x"))) == "http://unknown.example/x"
-    assert one(spark, expand(F.lit("FOO:bar"))) == "FOO:bar"
+    assert one(spark, expand(F.lit("my-pfx:bar"))) == "my-pfx:bar"
+    # OBO-shaped unknown prefixes expand via the generic PURL rule — the
+    # inverse of contract's OBO fallback (round-3 ADVICE symmetry)
+    assert one(spark, expand(F.lit("FOO:bar"))) == "http://purl.obolibrary.org/obo/FOO_bar"
+
+
+def test_contract_expand_obo_symmetry(spark):
+    """contract∘expand and expand∘contract are identity across the OBO
+    family even for prefixes absent from the explicit map (GO is in the
+    default map; CHEBI/UBERON are not)."""
+    for curie in ("GO:0001", "CHEBI:15377", "UBERON:0002107"):
+        uri = one(spark, expand(F.lit(curie)))
+        assert uri == f"http://purl.obolibrary.org/obo/{curie.replace(':', '_')}"
+        assert one(spark, contract(F.lit(uri))) == curie
 
 
 def test_contract_longest_match(spark):

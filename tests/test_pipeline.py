@@ -90,6 +90,30 @@ def test_entity_linking(spark, pages):
     assert linked.exceptAll(linked2).count() == 0
 
 
+def test_entity_linking_dense_dictionary_guard(spark, pages):
+    """Dense-dictionary mode (hits ≈ mentions) must produce identical links
+    while materializing only the idf AGGREGATE, never mention-scale hits
+    (round-3 ADVICE #7): the default path's checkpoint snapshots hits (the
+    final plan scans an RDD, no Generate/explode left); dense mode keeps the
+    narrow explode lineage live and checkpoints just the per-alias df table."""
+    alias_dict = synth_alias_dict(spark, SF)
+    mentions = detect_mentions(extract_text(pages))
+    default = link_mentions(mentions, alias_dict)
+    dense = link_mentions(
+        detect_mentions(extract_text(pages)), alias_dict, dense_dictionary=True
+    )
+    # identical output either way
+    assert default.exceptAll(dense).count() == 0
+    assert dense.exceptAll(default).count() == 0
+    # default mode: hits checkpointed → the mention explode is snapshotted
+    # out of the plan; dense mode: explode still in the live plan, and the
+    # only checkpoint (RDD scan) is the idf aggregate
+    default_plan = default._jdf.queryExecution().optimizedPlan().toString()
+    dense_plan = dense._jdf.queryExecution().optimizedPlan().toString()
+    assert "Generate" not in default_plan  # hits snapshot replaced the explode
+    assert "Generate" in dense_plan  # narrow explode recomputes instead
+
+
 def test_full_pipeline_and_resume(spark, pages, tmp_path):
     wd = str(tmp_path / "run1")
     ctx = run_kg_pipeline(spark, SF, wd, link_entities=False)

@@ -133,3 +133,31 @@ def test_validator(spark):
     )
     erep = {r["error_type"] for r in error_report(validate_edge_records(edges)).collect()}
     assert "INVALID_EDGE_PREDICATE" in erep
+
+
+def test_knowledge_source_accepts_scalar_and_list(spark):
+    """The reference's own declarations disagree on knowledge_source
+    (column_types: str, drives its sanitizer; is_provenance_property_multivalued:
+    True) — so reference-sanitized graphs carry either shape and the type
+    battery must flag NEITHER (round-3 ADVICE). Other slots keep strict
+    shape checks."""
+    from kgx_spark.operators.validator import validate_property_types
+
+    scalar = spark.createDataFrame(
+        [("HGNC:1", "biolink:related_to", "HGNC:2", "infores:x")],
+        "subject string, predicate string, object string, knowledge_source string",
+    )
+    listy = spark.createDataFrame(
+        [("HGNC:1", "biolink:related_to", "HGNC:2", ["infores:x"])],
+        "subject string, predicate string, object string, knowledge_source array<string>",
+    )
+    assert validate_property_types(scalar, "edge").count() == 0
+    assert validate_property_types(listy, "edge").count() == 0
+    # strictness preserved elsewhere: scalar primary_knowledge_source ok,
+    # array form still errors (declared single-valued everywhere)
+    bad = spark.createDataFrame(
+        [("HGNC:1", "biolink:related_to", "HGNC:2", ["infores:x"])],
+        "subject string, predicate string, object string, primary_knowledge_source array<string>",
+    )
+    msgs = [r["message"] for r in validate_property_types(bad, "edge").collect()]
+    assert any("expected to be of type 'str'" in m for m in msgs)
