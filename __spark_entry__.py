@@ -231,9 +231,20 @@ def q_clique_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_infores(spark: SparkSession, sf: str) -> DataFrame:
+    """Default pipeline + the optional (regex, substitution, prefix) rewrite
+    tuple (kgx/utils/infores.py:86-107): matches substituted on the raw
+    value, prefix prepended as a word, then the standard formatting."""
     supp = spark.read.parquet(f"{sf}/supplier.parquet")
-    return supp.select(F.col("s_name").alias("source_name")).distinct().withColumn(
-        "infores", infores_curie(F.col("source_name"))
+    return (
+        supp.select(F.col("s_name").alias("source_name"))
+        .distinct()
+        .withColumn("infores", infores_curie(F.col("source_name")))
+        .withColumn(
+            "infores_rewritten",
+            infores_curie(
+                F.col("source_name"), rewrite=("Supplier#0*", "vendor ", "trusted")
+            ),
+        )
     )
 
 
@@ -616,6 +627,12 @@ def q_entity_link(spark: SparkSession, sf: str) -> DataFrame:
     # non-empty text, so the counts coincide.
     n_pages = raw_pages.count()
     pages = extract_text(raw_pages)
+    # default (checkpoint-hits) path even though the synthetic dictionary is
+    # dense: measured A/B at sf0.1 (19.0s vs 25.5s warm) shows the n-gram
+    # explode dominates here, so recomputing it (dense_dictionary=True)
+    # costs more than materializing hits. The dense mode is the
+    # bounded-MEMORY guard for corpora where mention-scale materialization
+    # would not fit, not a latency win (docs/SCALE.md).
     linked = link_mentions(detect_mentions(pages), synth_alias_dict(spark, sf), n_pages=n_pages)
     return linked.select("url", "mention", "curie").distinct()
 
@@ -939,6 +956,93 @@ def q_trapi_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         "subject", "predicate", "object", "primary_knowledge_source",
         F.array_join("aggregator_knowledge_source", "|").alias("aggregators"),
         F.col("attributes").getItem("provided_by").alias("provided_by_attr"),
+        F.col("qualifiers").getItem("object_direction_qualifier").alias("direction_qualifier"),
+    )
+
+
+def q_trapi_jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """TRAPI JSONL read path (trapi_source.py:305-390 read_nodes_jsonl /
+    read_edges_jsonl — round-3 next-round #4): line-per-record variant with
+    type-discriminated node/edge/header rows. The fixture is written
+    DISTRIBUTED (to_json lines → text sink — the format is splittable,
+    unlike monolithic TRAPI) and salted with a malformed line and an id-less
+    node record, both of which the reader must drop like the reference's
+    JSONDecodeError / missing-id branches. Provided edge ids are preserved
+    (the jsonl branch keeps them; only absent ids get the deterministic
+    fill)."""
+    from kgx_spark.sources.trapi import read_trapi
+
+    part = spark.read.parquet(f"{sf}/part.parquet")
+    k = F.col("p_partkey")
+    node_lines = part.select(
+        F.to_json(
+            F.struct(
+                F.lit("node").alias("type"),
+                F.concat(F.lit("P:"), k).alias("id"),
+                F.col("p_name").alias("name"),
+                F.array(F.lit("biolink:Gene")).alias("categories"),
+                F.array(
+                    F.struct(
+                        F.lit("biolink:xref").alias("attribute_type_id"),
+                        F.array(F.concat(F.lit("X:"), k)).alias("value"),
+                    )
+                ).alias("attributes"),
+            )
+        ).alias("value")
+    )
+    edge_lines = part.select(
+        F.to_json(
+            F.struct(
+                F.lit("edge").alias("type"),
+                F.concat(F.lit("e"), k).alias("id"),
+                F.concat(F.lit("P:"), k).alias("subject"),
+                F.when(k % 2 == 0, "biolink:related_to")
+                .otherwise("biolink:interacts_with").alias("predicate"),
+                F.concat(F.lit("S:"), k % 100).alias("object"),
+                F.array(
+                    F.struct(
+                        F.concat(F.lit("infores:primary"), k % 7).alias("resource_id"),
+                        F.lit("primary_knowledge_source").alias("resource_role"),
+                    ),
+                    F.struct(
+                        F.concat(F.lit("infores:agg"), k % 5).alias("resource_id"),
+                        F.lit("aggregator_knowledge_source").alias("resource_role"),
+                    ),
+                ).alias("sources"),
+                F.when(
+                    k % 4 == 0,
+                    F.array(
+                        F.struct(
+                            F.lit("biolink:object_direction_qualifier").alias("qualifier_type_id"),
+                            F.lit("increased").alias("qualifier_value"),
+                        )
+                    ),
+                ).alias("qualifiers"),
+            )
+        ).alias("value")
+    )
+    salt = spark.createDataFrame(
+        [
+            ('{"type": "knowledge_graph", "biolink_version": "4.2.1"}',),
+            ("{this line is not json",),
+            ('{"type": "node", "name": "record without an id"}',),
+        ],
+        "value string",
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="kgx_trapi_jsonl_"), "kg")
+    node_lines.unionByName(edge_lines).unionByName(salt).write.mode("overwrite").text(path)
+    nodes, edges = read_trapi(spark, path, validate=False, format="jsonl")
+    return edges.join(
+        nodes.select(
+            F.col("id").alias("subject"),
+            F.col("name").alias("subject_name"),
+            F.col("attributes").getItem("xref").alias("subject_xref"),
+        ),
+        on="subject",
+    ).select(
+        "subject", "subject_name", "subject_xref", "predicate", "object", "id",
+        "primary_knowledge_source",
+        F.array_join("aggregator_knowledge_source", "|").alias("aggregators"),
         F.col("qualifiers").getItem("object_direction_qualifier").alias("direction_qualifier"),
     )
 
@@ -1357,6 +1461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_ivf,
         "delimiter_sniff": q_delimiter_sniff,
         "trapi_roundtrip": q_trapi_roundtrip,
+        "trapi_jsonl_roundtrip": q_trapi_jsonl_roundtrip,
         "media_features": q_media_features,
         "sssom_roundtrip": q_sssom_roundtrip,
         "obograph_roundtrip": q_obograph_roundtrip,
@@ -1666,10 +1771,16 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, simhash, b AS band, substr(simhash, b * 4 + 1, 4) AS key
                 FROM sigs, LATERAL unnest(generate_series(0, 3)) AS t(b)
             ),
+            capped AS (
+                -- replays simhash_near_dups's max_bucket_size=10000 default
+                -- (non-binding at this scale, faithfully replayed anyway)
+                SELECT doc_id, simhash, band, key FROM banded
+                QUALIFY count(*) OVER (PARTITION BY band, key) <= 10000
+            ),
             pairs AS (
                 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                        a.simhash AS sa, b.simhash AS sb
-                FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+                FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key
                 WHERE a.doc_id < b.doc_id
             )
             SELECT doc_a, doc_b, hamming FROM (
@@ -1700,9 +1811,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT source_name,
                    'infores:' || replace(regexp_replace(regexp_replace(regexp_replace(
                        lower(trim(source_name)),
-                       '[\\s.]+', '_', 'g'),
-                       '[^a-zA-Z0-9_\\-]', '', 'g'),
-                       '_+', '_', 'g'), '_', '-') AS infores
+                       '\\s+', '_', 'g'),
+                       '\\.+', '_', 'g'),
+                       '[^a-z0-9_]', '', 'g'), '_', '-') AS infores,
+                   'infores:' || replace(regexp_replace(regexp_replace(regexp_replace(
+                       lower(trim('trusted ' || regexp_replace(source_name, 'Supplier#0*', 'vendor ', 'g'))),
+                       '\\s+', '_', 'g'),
+                       '\\.+', '_', 'g'),
+                       '[^a-z0-9_]', '', 'g'), '_', '-') AS infores_rewritten
             FROM (SELECT DISTINCT s_name AS source_name FROM supplier)
         """,
         "curie_roundtrip": """
@@ -1946,10 +2062,13 @@ def oracle_sql() -> dict[str, str]:
             FROM part
         """,
         "infores_catalog": """
-            SELECT DISTINCT 'The ' || n_name || ' Data. Source' AS knowledge_source,
-                   'infores:the-' || replace(replace(lower(n_name), ' ', '-'), '_', '-')
-                       || '-data-source' AS infores
-            FROM nation
+            SELECT DISTINCT knowledge_source,
+                   'infores:' || replace(regexp_replace(regexp_replace(regexp_replace(
+                       lower(trim(knowledge_source)),
+                       '\\s+', '_', 'g'),
+                       '\\.+', '_', 'g'),
+                       '[^a-z0-9_]', '', 'g'), '_', '-') AS infores
+            FROM (SELECT 'The ' || n_name || ' Data. Source' AS knowledge_source FROM nation)
         """,
         "get_parents": """
             SELECT DISTINCT 'P:' || (p_partkey // 2) AS id
@@ -1975,6 +2094,19 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'infores:unknown' END AS primary_knowledge_source,
                    'infores:agg1|infores:agg' || (p_partkey % 5) AS aggregators,
                    'infores:agg1|infores:agg' || (p_partkey % 5) AS provided_by_attr,
+                   CASE WHEN p_partkey % 4 = 0 THEN 'increased' END AS direction_qualifier
+            FROM part
+        """,
+        "trapi_jsonl_roundtrip": """
+            SELECT 'P:' || p_partkey AS subject,
+                   p_name AS subject_name,
+                   'X:' || p_partkey AS subject_xref,
+                   CASE WHEN p_partkey % 2 = 0 THEN 'biolink:related_to'
+                        ELSE 'biolink:interacts_with' END AS predicate,
+                   'S:' || (p_partkey % 100) AS object,
+                   'e' || p_partkey AS id,
+                   'infores:primary' || (p_partkey % 7) AS primary_knowledge_source,
+                   'infores:agg' || (p_partkey % 5) AS aggregators,
                    CASE WHEN p_partkey % 4 = 0 THEN 'increased' END AS direction_qualifier
             FROM part
         """,

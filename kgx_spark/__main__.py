@@ -29,10 +29,22 @@ def main(argv: list[str] | None = None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     t = sub.add_parser("transform", help="kgx transform (kgx/cli/__init__.py:734)")
-    _io_args(t)
-    t.add_argument("-o", "--output", required=True)
-    t.add_argument("--output-format", required=True)
+    t.add_argument("-i", "--input", default=None)
+    t.add_argument("--input-format", default=None)
+    t.add_argument("--node-filters", default=None, help="JSON dict, e.g. '{\"category\": [\"biolink:Gene\"]}'")
+    t.add_argument("--edge-filters", default=None)
+    t.add_argument("-o", "--output", default=None)
+    t.add_argument("--output-format", default=None)
     t.add_argument("--operations", default=None, help="JSON list of {name, args}")
+    t.add_argument(
+        "--transform-config", default=None,
+        help="multi-source transform YAML (cli_utils.py:552-720); "
+             "mutually exclusive with -i/-o",
+    )
+    t.add_argument(
+        "--source", action="append", default=None,
+        help="restrict --transform-config to these source keys (repeatable)",
+    )
 
     m = sub.add_parser("merge", help="kgx merge (kgx/cli/__init__.py:833)")
     m.add_argument("--config", required=True, help="YAML: {sources: {..}, destination: {..}}")
@@ -49,6 +61,41 @@ def main(argv: list[str] | None = None) -> int:
     v = sub.add_parser("validate", help="kgx validate (cli_utils.py:167-229)")
     _io_args(v)
 
+    # connector verbs (kgx/cli/__init__.py:218-661) — wired to the
+    # import-gated distributed connectors; without the bolt/arango drivers
+    # (absent in this sandbox) they exit 1 with the gate's message
+    nd = sub.add_parser("neo4j-download", help="kgx neo4j-download (cli/__init__.py:218-322)")
+    nd.add_argument("--uri", "-l", required=True)
+    nd.add_argument("--username", "-u", required=True)
+    nd.add_argument("--password", "-p", required=True)
+    nd.add_argument("-o", "--output", required=True)
+    nd.add_argument("--output-format", required=True)
+    nd.add_argument("--node-filters", default=None)
+    nd.add_argument("--edge-filters", default=None)
+
+    nu = sub.add_parser("neo4j-upload", help="kgx neo4j-upload (cli/__init__.py:324-404)")
+    nu.add_argument("--uri", "-l", required=True)
+    nu.add_argument("--username", "-u", required=True)
+    nu.add_argument("--password", "-p", required=True)
+    nu.add_argument("-i", "--input", required=True)
+    nu.add_argument("--input-format", required=True)
+
+    ad = sub.add_parser("arangodb-download", help="kgx arangodb-download (cli/__init__.py:406-544)")
+    ad.add_argument("--uri", "-l", required=True)
+    ad.add_argument("--database", "-d", required=True)
+    ad.add_argument("--username", "-u", required=True)
+    ad.add_argument("--password", "-p", required=True)
+    ad.add_argument("-o", "--output", required=True)
+    ad.add_argument("--output-format", required=True)
+
+    au = sub.add_parser("arangodb-upload", help="kgx arangodb-upload (cli/__init__.py:546-661)")
+    au.add_argument("--uri", "-l", required=True)
+    au.add_argument("--database", "-d", required=True)
+    au.add_argument("--username", "-u", required=True)
+    au.add_argument("--password", "-p", required=True)
+    au.add_argument("-i", "--input", required=True)
+    au.add_argument("--input-format", required=True)
+
     args = ap.parse_args(argv)
     spark = get_spark("kgx_spark_cli", master=args.master)
 
@@ -63,6 +110,22 @@ def main(argv: list[str] | None = None) -> int:
         return d
 
     if args.cmd == "transform":
+        if args.transform_config and args.input:
+            # cli_utils.py:607-608
+            ap.error("Can accept either --transform-config OR -i/--input, not both")
+        if args.transform_config:
+            from kgx_spark.transform import transform_config
+
+            graphs = transform_config(spark, args.transform_config, source=args.source)
+            print(json.dumps({
+                k: {"nodes": n.count() if n is not None else 0,
+                    "edges": e.count() if e is not None else 0}
+                for k, (n, e) in graphs.items()
+            }))
+            return 0
+        if not (args.input and args.input_format and args.output and args.output_format):
+            ap.error("transform requires -i/--input-format/-o/--output-format "
+                     "unless --transform-config is given")
         from kgx_spark.transform import transform
 
         ops = json.loads(args.operations) if args.operations else None
@@ -107,6 +170,48 @@ def main(argv: list[str] | None = None) -> int:
                 fh.write(out)
         else:
             print(out)
+    elif args.cmd in ("neo4j-download", "neo4j-upload", "arangodb-download", "arangodb-upload"):
+        from kgx_spark.transform import read_source, write_sink
+
+        try:
+            if args.cmd == "neo4j-download":
+                from kgx_spark.sources.neo_source import read_neo
+
+                flt = {
+                    k: json.loads(getattr(args, f"{k}_filters") or "null")
+                    for k in ("node", "edge")
+                }
+                nodes, edges = read_neo(
+                    spark, args.uri, args.username, args.password,
+                    node_filters=flt["node"], edge_filters=flt["edge"],
+                )
+                write_sink(nodes, edges, {"filename": args.output, "format": args.output_format})
+            elif args.cmd == "neo4j-upload":
+                from kgx_spark.sinks.neo_sink import write_neo
+
+                nodes, edges = read_source(
+                    spark, {"filename": args.input, "format": args.input_format}
+                )
+                write_neo(nodes, edges, args.uri, args.username, args.password)
+            elif args.cmd == "arangodb-download":
+                from kgx_spark.sources.arango_source import read_arango
+
+                nodes, edges = read_arango(
+                    spark, args.uri, args.database, args.username, args.password
+                )
+                write_sink(nodes, edges, {"filename": args.output, "format": args.output_format})
+            else:
+                from kgx_spark.sinks.arango_sink import write_arango
+
+                nodes, edges = read_source(
+                    spark, {"filename": args.input, "format": args.input_format}
+                )
+                write_arango(
+                    nodes, edges, args.uri, args.database, args.username, args.password
+                )
+        except ImportError as e:
+            print(str(e), file=sys.stderr)
+            return 1
     elif args.cmd == "validate":
         from kgx_spark.operators.validator import (
             error_report,

@@ -14,33 +14,60 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def infores_curie(col: Column) -> Column:
+def infores_curie(
+    col: Column, rewrite: tuple[str, ...] | list[str] | None = None
+) -> Column:
     """Knowledge-source name → ``infores:`` CURIE.
 
-    Pipeline per kgx/utils/infores.py:146-162:
-    lowercase → whitespace/dots/hyphen-runs → '_' → strip non-word chars →
-    '_' → '-' → prefix 'infores:'. Values already infores CURIEs pass through.
+    Exact reference pipeline (kgx/utils/infores.py:135-168 _process_infores,
+    applied substitution-for-substitution): optional rewrite → optional
+    prefix prepend → strip → lowercase → ``\\s+`` → '_' → ``\\.+`` → '_' →
+    strip non-word chars (hyphens included — ``[\\W]``) → '_' → '-' →
+    prefix 'infores:'. Values already infores CURIEs pass through untouched
+    (checked BEFORE the rewrite, as the reference does).
+
+    ``rewrite`` is the reference's optional ``(regex, substitution[,
+    prefix])`` tuple from knowledge-source filters (infores.py:86-107):
+    ``regex`` matches are replaced by ``substitution`` (all occurrences, on
+    the RAW value before case folding; empty/missing substitution deletes
+    the matches), then ``prefix`` — the third element — is prepended as a
+    separate word. A falsy regex skips the substitution but still applies
+    the prefix.
     """
-    out = F.lower(F.trim(col))
-    out = F.regexp_replace(out, r"[\s\.]+", "_")
-    out = F.regexp_replace(out, r"[^\w\-]", "")
-    out = F.regexp_replace(out, r"_+", "_")
+    out = col
+    if rewrite:
+        regex = rewrite[0]
+        substitution = rewrite[1] if len(rewrite) > 1 else ""
+        prefix = rewrite[2] if len(rewrite) > 2 else ""
+        if regex:
+            out = F.regexp_replace(out, regex, substitution)
+        if prefix:
+            out = F.concat(F.lit(prefix + " "), out)
+    out = F.lower(F.trim(out))
+    out = F.regexp_replace(out, r"\s+", "_")
+    out = F.regexp_replace(out, r"\.+", "_")
+    out = F.regexp_replace(out, r"[^a-z0-9_]", "")
     out = F.regexp_replace(out, "_", "-")
     out = F.concat(F.lit("infores:"), out)
     return F.when(col.startswith("infores:"), col).otherwise(out)
 
 
-def infores_catalog(df: DataFrame, source_col: str = "knowledge_source") -> DataFrame:
+def infores_catalog(
+    df: DataFrame,
+    source_col: str = "knowledge_source",
+    rewrite: tuple[str, ...] | list[str] | None = None,
+) -> DataFrame:
     """Side-output catalog mapping raw source name → infores CURIE.
 
     Mirrors the reference's write_catalog (kgx/utils/infores.py:109-133) as a
-    distinct projection instead of a driver-side dict.
+    distinct projection instead of a driver-side dict. ``rewrite`` is the
+    optional ``(regex, substitution[, prefix])`` tuple — see infores_curie.
     """
     return (
         df.select(F.col(source_col).alias("knowledge_source"))
         .where(F.col("knowledge_source").isNotNull())
         .distinct()
-        .withColumn("infores", infores_curie(F.col("knowledge_source")))
+        .withColumn("infores", infores_curie(F.col("knowledge_source"), rewrite=rewrite))
     )
 
 

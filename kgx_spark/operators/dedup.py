@@ -208,6 +208,7 @@ def simhash_near_dups(
     bits: int = 16,
     bands: int = 4,
     max_hamming: int = 2,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: (doc_a, doc_b, hamming) with
     hamming ≤ max_hamming.
@@ -219,6 +220,15 @@ def simhash_near_dups(
     constant-size (band, slice) shuffle key per doc, never all-pairs.
     Verification counts differing bits across the full signature, JVM-side.
     Exact (no false negatives) whenever max_hamming < bands.
+
+    ``max_bucket_size`` (default ON at 10_000, same convention as
+    lsh_candidate_pairs): slices shared by more than the cap are dropped
+    before the self-join — template-heavy web corpora put near-identical
+    pages in the same slice buckets and would otherwise go quadratic.
+    ``None`` opts out (restores the exact-pigeonhole guarantee). NB the
+    slice keyspace is 2^(bits/bands): size ``bits`` so that keyspace ≫
+    corpus/cap (e.g. 64-128 bits at web scale), otherwise ordinary buckets
+    saturate the cap through key-space collision rather than duplicity.
     """
     width = bits // bands
     assert bands * width == bits, "bits must divide evenly into bands"
@@ -230,6 +240,14 @@ def simhash_near_dups(
             F.array(*[F.substring("simhash", b * width + 1, width) for b in range(bands)])
         ).alias("band", "key"),
     )
+    if max_bucket_size is not None:
+        small = (
+            banded.groupBy("band", "key")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") <= max_bucket_size)
+            .select("band", "key")
+        )
+        banded = banded.join(small, on=["band", "key"], how="left_semi")
     a = banded.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("_sa"), "band", "key")
     b = banded.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("_sb"), "band", "key")
     hamming = F.aggregate(

@@ -125,9 +125,70 @@ def _qualifiers_map(col: F.Column) -> F.Column:
     return F.map_from_entries(F.coalesce(entries, F.array()))
 
 
+# JSONL record shape (trapi_source.py:305-390 read_nodes_jsonl /
+# read_edges_jsonl): one JSON object per line, discriminated by `type` —
+# 'knowledge_graph' header rows (biolink_version), 'node' rows, 'edge' rows.
+_JSONL_REC = T.StructType(
+    [
+        T.StructField("type", T.StringType()),
+        T.StructField("id", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("categories", T.ArrayType(T.StringType())),
+        T.StructField("category", T.ArrayType(T.StringType())),
+        T.StructField("attributes", _ATTR),
+        T.StructField("subject", T.StringType()),
+        T.StructField("predicate", T.StringType()),
+        T.StructField("object", T.StringType()),
+        T.StructField(
+            "sources",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("resource_id", T.StringType()),
+                        T.StructField("resource_role", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("qualifiers", _QUAL),
+    ]
+)
+
+
+def _shape_edges(edges_struct: DataFrame) -> DataFrame:
+    """Shared edge shaping: a column ``e`` of struct(subject, predicate,
+    object, attributes, sources, qualifiers) → KGX edge columns
+    (trapi_source.py:122-400 semantics)."""
+    src = F.col("e.sources")
+    primary = F.get(
+        F.filter(src, lambda s: s["resource_role"] == "primary_knowledge_source"), 0
+    )["resource_id"]
+    aggs = F.transform(
+        F.filter(src, lambda s: s["resource_role"] == "aggregator_knowledge_source"),
+        lambda s: s["resource_id"],
+    )
+    keep = [c for c in edges_struct.columns if c != "e"]
+    return edges_struct.select(
+        *keep,
+        F.col("e.subject").alias("subject"),
+        F.col("e.predicate").alias("predicate"),
+        F.col("e.object").alias("object"),
+        primary.alias("primary_knowledge_source"),
+        aggs.alias("aggregator_knowledge_source"),
+        _attrs_map(F.col("e.attributes")).alias("attributes"),
+        _qualifiers_map(F.col("e.qualifiers")).alias("qualifiers"),
+    )
+
+
 def read_trapi(
-    spark: SparkSession, path: str, validate: bool = True
+    spark: SparkSession, path: str, validate: bool = True, format: str = "json"
 ) -> tuple[DataFrame, DataFrame]:
+    """TRAPI → (nodes, edges). ``format`` dispatches like the reference's
+    ``parse(format=...)`` (trapi_source.py:29-67): 'json' reads the
+    monolithic {"knowledge_graph": {nodes, edges}} document; 'jsonl' the
+    line-per-record variant."""
+    if format == "jsonl":
+        return read_trapi_jsonl(spark, path, validate=validate)
     raw = spark.read.text(path, wholetext=True).select(
         F.from_json("value", _KG).alias("doc")
     )
@@ -139,24 +200,55 @@ def read_trapi(
         _attrs_map(F.col("n.attributes")).alias("attributes"),
     )
     edges_map = raw.select(F.explode("doc.knowledge_graph.edges").alias("key", "e"))
-    src = F.col("e.sources")
-    primary = F.get(
-        F.filter(src, lambda s: s["resource_role"] == "primary_knowledge_source"), 0
-    )["resource_id"]
-    aggs = F.transform(
-        F.filter(src, lambda s: s["resource_role"] == "aggregator_knowledge_source"),
-        lambda s: s["resource_id"],
-    )
-    edges = edges_map.select(
-        F.col("e.subject").alias("subject"),
-        F.col("e.predicate").alias("predicate"),
-        F.col("e.object").alias("object"),
-        primary.alias("primary_knowledge_source"),
-        aggs.alias("aggregator_knowledge_source"),
-        _attrs_map(F.col("e.attributes")).alias("attributes"),
-        _qualifiers_map(F.col("e.qualifiers")).alias("qualifiers"),
-    )
+    edges = _shape_edges(edges_map).drop("key")
     edges = generate_edge_identifiers(edges)
+    nodes = sanitize_import(nodes)
+    if validate:
+        nodes, _ = validate_nodes(nodes)
+        edges, _ = validate_edges(edges)
+    return nodes, edges
+
+
+def read_trapi_jsonl(
+    spark: SparkSession, path: str, validate: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """TRAPI JSONL → (nodes, edges) (trapi_source.py:305-390).
+
+    One distributed line-based scan (plain ``spark.read.text`` — unlike the
+    monolithic document this format is splittable, so 100 TB of TRAPI JSONL
+    parallelizes by file split); records route by their ``type`` field.
+    Malformed lines are dropped, as the reference's JSONDecodeError handler
+    does (from_json yields null). The header row's biolink_version and
+    node/edge records missing ``id`` are skipped exactly like the reference.
+    """
+    recs = spark.read.text(path).select(F.from_json("value", _JSONL_REC).alias("r"))
+    nodes = (
+        recs.where((F.col("r.type") == "node") & F.col("r.id").isNotNull())
+        .select(
+            F.col("r.id").alias("id"),
+            F.col("r.name").alias("name"),
+            # load_node: TRAPI `categories` wins unless legacy `category`
+            # is already present (trapi_source.py:346-386)
+            F.coalesce(F.col("r.category"), F.col("r.categories")).alias("category"),
+            _attrs_map(F.col("r.attributes")).alias("attributes"),
+        )
+    )
+    edge_recs = recs.where(
+        (F.col("r.type") == "edge") & F.col("r.id").isNotNull()
+    ).select(
+        F.col("r.id").alias("id"),
+        F.struct(
+            F.col("r.subject").alias("subject"),
+            F.col("r.predicate").alias("predicate"),
+            F.col("r.object").alias("object"),
+            F.col("r.attributes").alias("attributes"),
+            F.col("r.sources").alias("sources"),
+            F.col("r.qualifiers").alias("qualifiers"),
+        ).alias("e"),
+    )
+    # the record's own id is kept (the reference's jsonl branch preserves
+    # it); only absent ids get the deterministic fill
+    edges = generate_edge_identifiers(_shape_edges(edge_recs))
     nodes = sanitize_import(nodes)
     if validate:
         nodes, _ = validate_nodes(nodes)

@@ -75,16 +75,21 @@ def read_kgx_tsv(
 ) -> tuple[DataFrame | None, DataFrame | None]:
     """Read a KGX fileset: `{base}_nodes.{fmt}` + `{base}_edges.{fmt}`.
 
-    ``path`` may be a directory, a glob, a single file, or a tar archive.
-    Node-vs-edge inference by filename mirrors tsv_source.py:134-163.
+    ``path`` may be a directory, a glob, a single file, a tar archive, or a
+    LIST of files (the reference's YAML configs pass explicit file lists —
+    cli_utils.py:585-596). Node-vs-edge inference by filename mirrors
+    tsv_source.py:134-163.
     """
-    if path.endswith((".tar", ".tar.gz", ".tgz", ".tar.bz2")):
-        path = _extract_tar(path)
-    candidates = (
-        sorted(glob.glob(os.path.join(path, f"*.{fmt}")))
-        if os.path.isdir(path)
-        else sorted(glob.glob(path)) or [path]
-    )
+    if isinstance(path, (list, tuple)):
+        candidates = sorted(str(p) for p in path)
+    else:
+        if path.endswith((".tar", ".tar.gz", ".tgz", ".tar.bz2")):
+            path = _extract_tar(path)
+        candidates = (
+            sorted(glob.glob(os.path.join(path, f"*.{fmt}")))
+            if os.path.isdir(path)
+            else sorted(glob.glob(path)) or [path]
+        )
     node_files = [f for f in candidates if f"nodes.{fmt}" in os.path.basename(f)]
     edge_files = [f for f in candidates if f"edges.{fmt}" in os.path.basename(f)]
     nodes = read_nodes_tsv(spark, node_files, fmt, validate) if node_files else None

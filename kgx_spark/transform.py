@@ -26,9 +26,20 @@ Graph = tuple[DataFrame, DataFrame]
 
 
 def read_source(spark: SparkSession, input_args: dict[str, Any]) -> Graph:
-    """SOURCE_MAP dispatch (kgx/transformer.py:43-60, 411-430)."""
+    """SOURCE_MAP dispatch (kgx/transformer.py:43-60, 411-430).
+
+    ``filename`` may be a single path (dir/glob/file/tar) or, as in the
+    reference's YAML configs, a LIST of files (e.g. ``[graph_nodes.tsv,
+    graph_edges.tsv]`` — cli_utils.py:585-596 passes the list through).
+    """
     fmt = input_args["format"]
     path = input_args["filename"]
+    if isinstance(path, (list, tuple)) and fmt not in ("tsv", "csv"):
+        if len(path) != 1:
+            raise ValueError(
+                f"format {fmt} takes one input path, got {len(path)}: {path}"
+            )
+        path = path[0]
     if fmt in ("tsv", "csv"):
         from kgx_spark.sources.tsv import read_kgx_tsv
 
@@ -57,10 +68,14 @@ def read_source(spark: SparkSession, input_args: dict[str, Any]) -> Graph:
         from kgx_spark.sources.rdf_nt import read_ntriples
 
         nodes, edges = read_ntriples(spark, path)
-    elif fmt == "trapi":
+    elif fmt in ("trapi", "trapi:jsonl"):
+        # the reference's TrapiSource parse(format=...) json/jsonl split
+        # (trapi_source.py:29-67)
         from kgx_spark.sources.trapi import read_trapi
 
-        nodes, edges = read_trapi(spark, path)
+        nodes, edges = read_trapi(
+            spark, path, format="jsonl" if fmt == "trapi:jsonl" else "json"
+        )
     elif fmt == "owl":
         from kgx_spark.sources.owl_source import read_owl
 
@@ -212,6 +227,101 @@ def transform(
         nodes, edges = apply_graph_operations(nodes, edges, operations)
     write_sink(nodes, edges, output_args)
     return nodes, edges
+
+
+def transform_config(
+    spark: SparkSession,
+    config_path: str,
+    source: list[str] | None = None,
+) -> dict[str, Graph]:
+    """`kgx transform --transform-config` YAML orchestration
+    (kgx/cli/cli_utils.py:552-720): multi-source fan-out, each source with
+    its own input/output blocks, per-source filters, optional operations.
+
+    YAML shape (reference fixture tests/resources/test-transform.yaml):
+
+        configuration:
+          output_directory: ../target       # relative → resolved vs config
+        transform:
+          source:
+            <key>:
+              name: "..."
+              input:
+                format: tsv
+                filename: [graph_nodes.tsv, graph_edges.tsv]  # vs config dir
+                filters: {node_filters: {...}, edge_filters: {...}}
+              output: {format: json, filename: [grapher]}
+              operations: [{name: ..., args: {...}}]          # optional
+
+    ``source`` restricts the run to the named keys (the reference's
+    ``--source`` flag). Relative input paths resolve against the config
+    file's directory, outputs against ``output_directory`` — exactly the
+    reference's cwd rules (cli_utils.py:612-640,  prepare_output_args).
+    Sources run sequentially — the reference's multiprocessing pool is
+    subsumed by partition parallelism within each Spark job (SURVEY.md §3.1);
+    a 1000-executor cluster saturates on one source's scan+shuffle, so
+    inter-source concurrency adds nothing but contention at scale.
+    → dict of source key → (nodes, edges).
+    """
+    import os
+
+    import yaml
+
+    cwd = os.path.dirname(os.path.abspath(config_path))
+    with open(config_path) as fh:
+        cfg = yaml.safe_load(fh)
+    conf = cfg.get("configuration") or {}
+    output_directory = conf.get("output_directory") or "output"
+    if not os.path.isabs(output_directory):
+        output_directory = os.path.normpath(os.path.join(cwd, output_directory))
+    os.makedirs(output_directory, exist_ok=True)
+
+    sources_cfg = cfg["transform"]["source"]
+    keys = list(source) if source else list(sources_cfg.keys())
+    unknown = [k for k in keys if k not in sources_cfg]
+    if unknown:
+        raise ValueError(f"unknown source keys in --source: {unknown}")
+
+    results: dict[str, Graph] = {}
+    for key in keys:
+        sp = sources_cfg[key]
+        inp = sp["input"]
+        filenames = inp.get("filename")
+        if isinstance(filenames, str):
+            filenames = [filenames]
+        resolved = [
+            f if os.path.isabs(f) else os.path.normpath(os.path.join(cwd, f))
+            for f in (filenames or [])
+        ]
+        filters = inp.get("filters") or {}
+        input_args: dict[str, Any] = {
+            "filename": resolved if len(resolved) != 1 else resolved[0],
+            "format": inp["format"],
+        }
+        if filters.get("node_filters"):
+            input_args["node_filters"] = filters["node_filters"]
+        if filters.get("edge_filters"):
+            input_args["edge_filters"] = filters["edge_filters"]
+        # explicit per-source provenance (the reference's provided_by kwarg —
+        # transformer.py set_provenance_map); otherwise read_source defaults
+        # from the input filename, as the reference does
+        pb = inp.get("provided_by") or inp.get("default_provenance")
+        if pb:
+            input_args["default_provenance"] = pb[0] if isinstance(pb, list) else pb
+
+        out = sp["output"]
+        ofn = out.get("filename") or key
+        if isinstance(ofn, list):
+            ofn = ofn[0]
+        if not os.path.isabs(ofn):
+            ofn = os.path.join(output_directory, ofn)
+        output_args: dict[str, Any] = {"filename": ofn, "format": out["format"]}
+        for opt in ("single_file", "compression", "partition_by", "reify_all_edges"):
+            if opt in out:
+                output_args[opt] = out[opt]
+
+        results[key] = transform(spark, input_args, output_args, sp.get("operations"))
+    return results
 
 
 def merge(

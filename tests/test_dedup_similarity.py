@@ -187,6 +187,27 @@ def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
     assert n_capped <= 4 * 100 * 99 // 2
     assert n_capped < n_uncapped
 
+    # simhash banding has the same degenerate-bucket exposure and the same
+    # default-on cap
+    from kgx_spark.operators.dedup import simhash_near_dups
+
+    assert inspect.signature(simhash_near_dups).parameters["max_bucket_size"].default == 10_000
+    sh_uncapped = simhash_near_dups(
+        template, bits=16, bands=4, max_hamming=3, max_bucket_size=None
+    ).count()
+    sh_capped = simhash_near_dups(
+        template, bits=16, bands=4, max_hamming=3, max_bucket_size=100
+    ).count()
+    # hamming verification trims some candidate pairs (the varying token
+    # flips a few signature bits), but the surviving count is still
+    # quadratic-order. The cap drops every over-100 slice bucket; with a
+    # 16-key slice space (4-bit slices) the sub-cap remainder buckets still
+    # pair up internally, so the bound here is per-bucket, not global —
+    # hence the factor-of-2 assertion (bits must scale with corpus size for
+    # a tight bound, per the simhash_near_dups docstring)
+    assert sh_uncapped >= 0.5 * (n * (n - 1) // 2)
+    assert sh_capped < sh_uncapped / 2
+
 
 def test_jaccard_candidate_restricted_matches_exact(spark, docs):
     """The candidate-restricted path must agree with the exact path on every

@@ -91,6 +91,28 @@ def test_infores(spark):
     assert one(spark, infores_curie(F.lit("Semantic Medline Database"))) == "infores:semantic-medline-database"
     assert one(spark, infores_curie(F.lit("infores:chembl"))) == "infores:chembl"
     assert one(spark, infores_curie(F.lit("  FooBar.Baz  "))) == "infores:foobar-baz"
+    # reference removes pre-existing hyphens ([\W] strip) and turns mixed
+    # dot/space runs into one underscore each — exact substitution order
+    assert one(spark, infores_curie(F.lit("foo-bar"))) == "infores:foobar"
+    assert one(spark, infores_curie(F.lit("data. source"))) == "infores:data--source"
+
+
+def test_infores_rewrite_tuple(spark):
+    """The optional (regex, substitution[, prefix]) rewrite
+    (kgx/utils/infores.py:86-107): sub on the raw value, prefix prepended as
+    a word, infores: values untouched, falsy regex → prefix only."""
+    src = F.lit("Supplier#000000017 Database")
+    assert one(spark, infores_curie(src, rewrite=("Supplier#0*", "vendor "))) == \
+        "infores:vendor-17-database"
+    assert one(spark, infores_curie(src, rewrite=("Supplier#0*", "vendor ", "trusted"))) == \
+        "infores:trusted-vendor-17-database"
+    # 1-tuple: substitution defaults to deletion
+    assert one(spark, infores_curie(F.lit("xTTTy"), rewrite=("T+",))) == "infores:xy"
+    # falsy regex: no sub, prefix still applies
+    assert one(spark, infores_curie(F.lit("db"), rewrite=("", "", "my"))) == "infores:my-db"
+    # already-infores values pass through before any rewrite
+    assert one(spark, infores_curie(F.lit("infores:chembl"), rewrite=("chem", "x"))) == \
+        "infores:chembl"
 
 
 def test_edge_key_and_id(spark):

@@ -157,6 +157,137 @@ def test_cli_transform_and_summary(spark, tsv_dir, tmp_path, capsys):
     assert stats["node_stats"]["total_nodes"] == 3
 
 
+def test_transform_config_multi_source(spark, tmp_path):
+    """`kgx transform --transform-config` orchestration (cli_utils.py:552-720;
+    fixture shape per tests/resources/test-transform.yaml): per-source
+    input/output blocks, explicit filename LISTS, relative paths resolved
+    against the config dir, output_directory resolution, per-source filters
+    and operations, --source restriction."""
+    import os
+
+    import yaml
+
+    from kgx_spark.transform import transform_config
+
+    d = tmp_path / "cfg"
+    d.mkdir()
+    (d / "graph_nodes.tsv").write_text(NODES_TSV)
+    (d / "graph_edges.tsv").write_text(EDGES_TSV)
+    cfg = {
+        "configuration": {"output_directory": "../target", "checkpoint": False},
+        "transform": {
+            "source": {
+                "test_graph": {
+                    "name": "Test Graph",
+                    "input": {
+                        "format": "tsv",
+                        "filename": ["graph_nodes.tsv", "graph_edges.tsv"],
+                    },
+                    "output": {"format": "jsonl", "filename": ["grapher"]},
+                },
+                "gene_graph": {
+                    "name": "Gene Graph",
+                    "input": {
+                        "format": "tsv",
+                        "filename": ["graph_nodes.tsv", "graph_edges.tsv"],
+                        "filters": {"node_filters": {"category": {"biolink:Gene"}}},
+                    },
+                    "output": {"format": "parquet", "filename": ["genes"]},
+                    "operations": [
+                        {"name": "fold_predicate",
+                         "args": {"predicate": "biolink:interacts_with", "remove_prefix": True}},
+                    ],
+                },
+            }
+        },
+    }
+    cfg_path = d / "transform.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    graphs = transform_config(spark, str(cfg_path))
+    assert set(graphs) == {"test_graph", "gene_graph"}
+    n1, e1 = graphs["test_graph"]
+    assert n1.count() == 3 and e1.count() == 2
+    n2, e2 = graphs["gene_graph"]
+    # category filter drops MONDO:1 → its dangling edge goes too; the
+    # fold_predicate operation removes the interacts_with edge into a node
+    # property, leaving zero edges
+    assert n2.count() == 2
+    assert e2.where(F.col("predicate") == "biolink:interacts_with").count() == 0
+    assert n2.where(F.col("interacts_with").isNotNull()).count() == 1
+    # outputs landed under the RESOLVED output_directory (../target vs cfg dir)
+    target = tmp_path / "target"
+    assert (target / "genes_nodes.parquet").exists() or any(
+        p.name.startswith("genes") for p in target.iterdir()
+    )
+    # --source restriction runs only the named key
+    only = transform_config(spark, str(cfg_path), source=["test_graph"])
+    assert set(only) == {"test_graph"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown source keys"):
+        transform_config(spark, str(cfg_path), source=["nope"])
+
+
+def test_cli_transform_config(spark, tmp_path, capsys):
+    import yaml
+
+    from kgx_spark.__main__ import main
+
+    d = tmp_path / "c2"
+    d.mkdir()
+    (d / "g_nodes.tsv").write_text(NODES_TSV)
+    (d / "g_edges.tsv").write_text(EDGES_TSV)
+    cfg = {
+        "transform": {
+            "source": {
+                "only": {
+                    "input": {"format": "tsv", "filename": ["g_nodes.tsv", "g_edges.tsv"]},
+                    "output": {"format": "jsonl", "filename": ["out_g"]},
+                }
+            }
+        }
+    }
+    cfg_path = d / "t.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    rc = main(["transform", "--transform-config", str(cfg_path)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"only": {"nodes": 3, "edges": 2}}
+    # --transform-config and -i are mutually exclusive (cli_utils.py:607-608)
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["transform", "--transform-config", str(cfg_path), "-i", "x"])
+
+
+def test_cli_connector_verbs_parse_and_gate(spark, tsv_dir, capsys):
+    """neo4j-download/upload + arangodb-download/upload verbs
+    (kgx/cli/__init__.py:218-661): argparse routing works, and in this
+    sandbox (no bolt/arango drivers) each verb exits 1 with the import
+    gate's message instead of tracebacking."""
+    import pytest as _pytest
+
+    from kgx_spark.__main__ import main
+
+    neo = ["--uri", "bolt://h:7687", "-u", "user", "-p", "pw"]
+    arango = ["--uri", "http://h:8529", "-d", "db", "-u", "user", "-p", "pw"]
+    cases = [
+        ["neo4j-download", *neo, "-o", "/tmp/x", "--output-format", "tsv"],
+        ["neo4j-upload", *neo, "-i", str(tsv_dir), "--input-format", "tsv"],
+        ["arangodb-download", *arango, "-o", "/tmp/x", "--output-format", "tsv"],
+        ["arangodb-upload", *arango, "-i", str(tsv_dir), "--input-format", "tsv"],
+    ]
+    for argv in cases:
+        rc = main(argv)
+        err = capsys.readouterr().err
+        assert rc == 1, argv[0]
+        assert "driver" in err or "python-arango" in err, argv[0]
+    # missing required options → argparse usage error, not a crash
+    with _pytest.raises(SystemExit):
+        main(["neo4j-download", "--uri", "bolt://h"])
+
+
 def test_cli_meta_knowledge_graph_report(spark, tsv_dir, capsys):
     import json as _json
 
