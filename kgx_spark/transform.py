@@ -321,6 +321,12 @@ def transform_config(
                 output_args[opt] = out[opt]
 
         results[key] = transform(spark, input_args, output_args, sp.get("operations"))
+        if conf.get("checkpoint"):
+            # per-source TSV snapshot alongside the output
+            # (cli_utils.py:953-956: "{output_directory}/{key}" in tsv)
+            write_sink(*results[key], {
+                "filename": os.path.join(output_directory, key), "format": "tsv",
+            })
     return results
 
 

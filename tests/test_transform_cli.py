@@ -223,6 +223,13 @@ def test_transform_config_multi_source(spark, tmp_path):
     # --source restriction runs only the named key
     only = transform_config(spark, str(cfg_path), source=["test_graph"])
     assert set(only) == {"test_graph"}
+    # configuration.checkpoint → per-source TSV snapshot at
+    # {output_directory}/{key} (cli_utils.py:953-956)
+    cfg["configuration"]["checkpoint"] = True
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    transform_config(spark, str(cfg_path), source=["test_graph"])
+    assert any(p.name.startswith("test_graph") and "nodes" in p.name
+               for p in target.iterdir())
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="unknown source keys"):
