@@ -960,6 +960,52 @@ def q_trapi_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _multiline_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """The documents fixture has no newlines, so line-level operators build
+    a deterministic multi-line corpus from it: NAV header + the doc's
+    tokens grouped 8-per-line + the FIRST content line repeated (planted
+    intra-doc duplicate) + FOOTER. Replayed verbatim in the oracles."""
+    docs = _docs(spark, sf)
+    toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    lines_arr = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.floor((n - 1) / 8).cast("int")),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * 8 + 1, 8)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    text2 = F.array_join(
+        F.concat(
+            F.array(F.lit("NAV home about contact")),
+            lines_arr,
+            F.slice(lines_arr, 1, 1),
+            F.array(F.lit("FOOTER copyright 2024")),
+        ),
+        "\n",
+    )
+    return docs.select("doc_id", text2.alias("text"))
+
+
+def q_repetition_signals(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition quality gates (duplicate-line fraction,
+    duplicate-line char fraction, top-2-gram char fraction) over the
+    constructed multi-line corpus — every doc carries one planted
+    duplicate line."""
+    from kgx_spark.operators.textstats import repetition_signals
+
+    return repetition_signals(_multiline_docs(spark, sf))
+
+
+def q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet/RefinedWeb-style cross-corpus boilerplate-line removal: the
+    NAV/FOOTER lines occur in every document (≥300 distinct docs) and must
+    vanish from all of them; content lines stay in original order."""
+    from kgx_spark.operators.textstats import remove_boilerplate_lines
+
+    return remove_boilerplate_lines(_multiline_docs(spark, sf), min_docs=300)
+
+
 def q_trapi_jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """TRAPI JSONL read path (trapi_source.py:305-390 read_nodes_jsonl /
     read_edges_jsonl — round-3 next-round #4): line-per-record variant with
@@ -1462,6 +1508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delimiter_sniff": q_delimiter_sniff,
         "trapi_roundtrip": q_trapi_roundtrip,
         "trapi_jsonl_roundtrip": q_trapi_jsonl_roundtrip,
+        "repetition_signals": q_repetition_signals,
+        "line_dedup": q_line_dedup,
         "media_features": q_media_features,
         "sssom_roundtrip": q_sssom_roundtrip,
         "obograph_roundtrip": q_obograph_roundtrip,
@@ -2096,6 +2144,106 @@ def oracle_sql() -> dict[str, str]:
                    'infores:agg1|infores:agg' || (p_partkey % 5) AS provided_by_attr,
                    CASE WHEN p_partkey % 4 = 0 THEN 'increased' END AS direction_qualifier
             FROM part
+        """,
+        "repetition_signals": """
+            WITH toksrc AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '') AS t
+                FROM documents
+            ),
+            ml AS (
+                SELECT doc_id,
+                       array_to_string(list_concat(list_concat(list_concat(
+                           ['NAV home about contact'],
+                           CASE WHEN len(t) > 0 THEN list_transform(
+                               generate_series(0, (len(t) - 1) // 8),
+                               i -> array_to_string(list_slice(t, i * 8 + 1, i * 8 + 8), ' '))
+                           ELSE CAST([] AS VARCHAR[]) END),
+                           CASE WHEN len(t) > 0 THEN [array_to_string(list_slice(t, 1, 8), ' ')]
+                           ELSE CAST([] AS VARCHAR[]) END),
+                           ['FOOTER copyright 2024']), chr(10)) AS text
+                FROM toksrc
+            ),
+            lines AS (
+                SELECT doc_id, l AS line
+                FROM ml, LATERAL unnest(string_split(text, chr(10))) AS u(l)
+                WHERE trim(l) <> ''
+            ),
+            per_line AS (
+                SELECT doc_id, line, count(*)::BIGINT AS cnt FROM lines GROUP BY 1, 2
+            ),
+            la AS (
+                SELECT doc_id, sum(cnt)::BIGINT AS n_lines,
+                       floor(sum(cnt - 1) * 1000.0 / sum(cnt))::BIGINT AS dup_line_frac_1000,
+                       floor(sum((cnt - 1) * len(line)) * 1000.0 / sum(cnt * len(line)))::BIGINT
+                           AS dup_line_char_frac_1000
+                FROM per_line GROUP BY 1
+            ),
+            mt AS (
+                SELECT doc_id, len(text) AS chars,
+                       list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> w <> '') AS t
+                FROM ml
+            ),
+            grams AS (
+                SELECT doc_id, unnest(list_transform(
+                    generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])) AS gram
+                FROM mt WHERE len(t) >= 2
+            ),
+            gcnt AS (SELECT doc_id, gram, count(*)::BIGINT AS cnt FROM grams GROUP BY 1, 2),
+            top AS (
+                SELECT doc_id, gram, cnt FROM gcnt
+                QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) = 1
+            )
+            SELECT m.doc_id,
+                   coalesce(la.n_lines, 0)::BIGINT AS n_lines,
+                   coalesce(la.dup_line_frac_1000, 0)::BIGINT AS dup_line_frac_1000,
+                   coalesce(la.dup_line_char_frac_1000, 0)::BIGINT AS dup_line_char_frac_1000,
+                   top.gram AS top_2gram,
+                   floor(top.cnt * len(top.gram) * 1000.0 / m.chars)::BIGINT AS top_2gram_frac_1000
+            FROM mt m
+            LEFT JOIN la USING (doc_id)
+            LEFT JOIN top USING (doc_id)
+        """,
+        "line_dedup": """
+            WITH toksrc AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '') AS t
+                FROM documents
+            ),
+            ml AS (
+                SELECT doc_id,
+                       array_to_string(list_concat(list_concat(list_concat(
+                           ['NAV home about contact'],
+                           CASE WHEN len(t) > 0 THEN list_transform(
+                               generate_series(0, (len(t) - 1) // 8),
+                               i -> array_to_string(list_slice(t, i * 8 + 1, i * 8 + 8), ' '))
+                           ELSE CAST([] AS VARCHAR[]) END),
+                           CASE WHEN len(t) > 0 THEN [array_to_string(list_slice(t, 1, 8), ' ')]
+                           ELSE CAST([] AS VARCHAR[]) END),
+                           ['FOOTER copyright 2024']), chr(10)) AS text
+                FROM toksrc
+            ),
+            lines AS (
+                SELECT doc_id, i AS pos, string_split(text, chr(10))[i] AS line
+                FROM ml, LATERAL unnest(generate_series(1, len(string_split(text, chr(10))))) AS u(i)
+            ),
+            freq AS (
+                SELECT line FROM lines WHERE trim(line) <> ''
+                GROUP BY line HAVING count(DISTINCT doc_id) >= 300
+            ),
+            kept AS (
+                SELECT l.doc_id, l.pos, l.line FROM lines l
+                WHERE NOT EXISTS (SELECT 1 FROM freq f WHERE f.line = l.line)
+            ),
+            rebuilt AS (
+                SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+                       count(*)::BIGINT AS kept
+                FROM kept GROUP BY doc_id
+            ),
+            orig AS (SELECT doc_id, len(string_split(text, chr(10)))::BIGINT AS n FROM ml)
+            SELECT o.doc_id, coalesce(r.text, '') AS text,
+                   (o.n - coalesce(r.kept, 0))::BIGINT AS n_removed
+            FROM orig o LEFT JOIN rebuilt r USING (doc_id)
         """,
         "trapi_jsonl_roundtrip": """
             SELECT 'P:' || p_partkey AS subject,

@@ -86,6 +86,128 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document — the standard quality
+    gates a web-corpus pipeline applies before training-data selection
+    (duplicate-line fraction, duplicate-line character fraction, top-2-gram
+    character fraction).
+
+    → (id, n_lines, dup_line_frac_1000, dup_line_char_frac_1000, top_2gram,
+    top_2gram_frac_1000). Fractions are floor(×1000) bigints for
+    cross-engine exactness; documents with no non-empty lines report 0
+    lines, and documents with <2 tokens have NULL top-2-gram columns.
+
+    Scale shape: two independent (id, line) / (id, gram) explode+groupBy
+    passes — shuffle keys are high-cardinality content keys, partial
+    aggregation collapses repeats map-side; the top-gram argmax is a
+    per-doc window over already-aggregated counts. No UDFs, no all-pairs.
+    """
+    idc = F.col(id_col)
+    c = F.col(text_col)
+
+    lines = df.select(
+        idc,
+        F.explode(
+            F.filter(F.split(c, r"\n"), lambda line: F.trim(line) != "")
+        ).alias("line"),
+    )
+    per_line = lines.groupBy(id_col, "line").agg(F.count("*").alias("cnt"))
+    cnt, ln = F.col("cnt"), F.length("line")
+    line_agg = per_line.groupBy(id_col).agg(
+        F.sum("cnt").cast("bigint").alias("n_lines"),
+        F.floor(F.sum(cnt - 1) * 1000 / F.sum(cnt)).cast("bigint").alias("dup_line_frac_1000"),
+        F.floor(F.sum((cnt - 1) * ln) * 1000 / F.sum(cnt * ln))
+        .cast("bigint").alias("dup_line_char_frac_1000"),
+    )
+
+    toks = tokens(F.lower(c))
+    grams_arr = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = df.select(idc, F.explode(grams_arr).alias("gram"))
+    gcnt = grams.groupBy(id_col, "gram").agg(F.count("*").alias("gcnt"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("gcnt").desc(), F.col("gram").asc())
+    top = (
+        gcnt.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(idc, F.col("gram").alias("top_2gram"), F.col("gcnt").alias("_topcnt"))
+    )
+
+    base = df.select(idc, F.length(c).alias("_chars"))
+    out = (
+        base.join(line_agg, on=id_col, how="left")
+        .join(top, on=id_col, how="left")
+        .select(
+            idc,
+            F.coalesce("n_lines", F.lit(0)).cast("bigint").alias("n_lines"),
+            F.coalesce("dup_line_frac_1000", F.lit(0)).cast("bigint").alias("dup_line_frac_1000"),
+            F.coalesce("dup_line_char_frac_1000", F.lit(0)).cast("bigint").alias("dup_line_char_frac_1000"),
+            F.col("top_2gram"),
+            F.floor(F.col("_topcnt") * F.length("top_2gram") * 1000 / F.col("_chars"))
+            .cast("bigint").alias("top_2gram_frac_1000"),
+        )
+    )
+    return out
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 10,
+) -> DataFrame:
+    """Cross-corpus line-level dedup (the CCNet/RefinedWeb boilerplate
+    pass): any non-empty line occurring in ≥ ``min_docs`` DISTINCT
+    documents is removed from every document; surviving lines keep their
+    original order.
+
+    → (id, text, n_removed). Documents reduced to nothing come back with
+    ''; empty lines are never treated as boilerplate (they'd trivially
+    cross any threshold).
+
+    Scale shape: one (line) shuffle to build the frequent-line set (partial
+    countDistinct collapses map-side), one anti-join (AQE broadcasts the
+    frequent set — it is threshold-bounded), one (id) shuffle to
+    reassemble. The line set shuffles hashes of SHORT strings, never full
+    documents.
+    """
+    idc = F.col(id_col)
+    c = F.col(text_col)
+    lines = df.select(idc, F.posexplode(F.split(c, r"\n")).alias("pos", "line"))
+    frequent = (
+        lines.where(F.trim("line") != "")
+        .groupBy("line")
+        .agg(F.count_distinct(idc).alias("_df"))
+        .where(F.col("_df") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(frequent, on="line", how="left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("_text"),
+        F.count("*").alias("_kept"),
+    )
+    orig = df.select(idc, F.size(F.split(c, r"\n")).alias("_orig"))
+    return orig.join(rebuilt, on=id_col, how="left").select(
+        idc,
+        F.coalesce("_text", F.lit("")).alias(text_col),
+        (F.col("_orig") - F.coalesce("_kept", F.lit(0))).cast("bigint").alias("n_removed"),
+    )
+
+
 def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 over the sorted distinct lowercase word set
     (OpenRefine-style key-collision fingerprint) — stable under word reorder

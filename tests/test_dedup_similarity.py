@@ -142,6 +142,58 @@ def test_quality_and_tokens(spark, docs):
     assert tc["rt"] >= tc["t"] > 0
 
 
+def test_repetition_signals_hand_computed(spark):
+    """Gopher repetition gates on a hand-checkable doc: 4 lines, one dup
+    pair; 'a b' is the dominant 2-gram."""
+    from kgx_spark.operators.textstats import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c\nxx yy\na b c\nzz"),  # 4 lines, 'a b c' twice
+            (2, "only one line"),
+            (3, "   "),  # no non-empty lines, no 2-grams... wait 0 tokens
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    r1 = out[1]
+    assert r1["n_lines"] == 4
+    # 1 duplicate line of 4 → floor(1000/4) = 250
+    assert r1["dup_line_frac_1000"] == 250
+    # dup chars: 'a b c' (5) duplicated once; total line chars 5+5+5+2 = 17
+    assert r1["dup_line_char_frac_1000"] == 5 * 1000 // 17
+    # 2-grams: 'a b'×2, 'b c'×2, 'c xx', 'xx yy', 'yy a', 'c zz' → tie on
+    # count, lexicographic 'a b' wins
+    assert r1["top_2gram"] == "a b"
+    assert r1["top_2gram_frac_1000"] == 2 * 3 * 1000 // len("a b c\nxx yy\na b c\nzz")
+    assert out[2]["n_lines"] == 1 and out[2]["dup_line_frac_1000"] == 0
+    assert out[3]["n_lines"] == 0 and out[3]["top_2gram"] is None
+
+
+def test_remove_boilerplate_lines(spark):
+    """CCNet-style cross-corpus line dedup: lines in ≥min_docs distinct
+    docs vanish everywhere, order preserved, empty lines never counted."""
+    from kgx_spark.operators.textstats import remove_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "NAV\ncontent one\nFOOTER"),
+            (2, "NAV\ncontent two\n\nFOOTER"),
+            (3, "NAV\nNAV\nunique\nFOOTER"),
+            (4, "NAV\nFOOTER"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_boilerplate_lines(docs, min_docs=3).collect()}
+    assert out[1]["text"] == "content one" and out[1]["n_removed"] == 2
+    # empty line survives (never boilerplate) and keeps its position
+    assert out[2]["text"] == "content two\n" and out[2]["n_removed"] == 2
+    # BOTH occurrences of a frequent line are removed from the same doc
+    assert out[3]["text"] == "unique" and out[3]["n_removed"] == 3
+    # a doc that was all boilerplate comes back empty, not missing
+    assert out[4]["text"] == "" and out[4]["n_removed"] == 2
+
+
 def test_fingerprint_order_invariant(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma"), (2, "gamma  alpha beta"), (3, "alpha beta delta")],
