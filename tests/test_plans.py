@@ -148,6 +148,19 @@ def test_scale_dedup_paths_have_no_cartesian(spark):
         assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
 
+def test_line_ops_no_cartesian_no_python(spark):
+    """repetition_signals / remove_boilerplate_lines are pure content-key
+    explode+groupBy plans: no cartesian, no Python eval — the frequent-line
+    anti-join must be a hash join on the line key."""
+    from kgx_spark.operators.textstats import remove_boilerplate_lines, repetition_signals
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for p in (plan_of(repetition_signals(docs)),
+              plan_of(remove_boilerplate_lines(docs, min_docs=3))):
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
 def test_multimodal_decode_has_no_shuffle(spark):
     """Binary media columns must never shuffle: the decode/feature plan is a
     single narrow mapInPandas stage over the scan."""
