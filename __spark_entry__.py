@@ -987,6 +987,28 @@ def _multiline_docs(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select("doc_id", text2.alias("text"))
 
 
+def q_url_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization (functions/urls.py): messy crawl URLs built
+    from part rows — uppercase scheme/host, default ports, tracking params,
+    unsorted query order, fragments — must collapse to the canonical key a
+    URL-dedup pass would group on."""
+    from kgx_spark.functions.urls import normalize_url
+
+    part = spark.read.parquet(f"{sf}/part.parquet")
+    k = F.col("p_partkey")
+    raw = part.select(
+        k.alias("p_partkey"),
+        F.concat(
+            F.lit("HTTP://Example.COM"),
+            F.when(k % 2 == 0, ":80").otherwise(""),
+            F.lit("/Path/"), (k % 50).cast("string"),
+            F.when(k % 3 == 0, "?utm_source=x&b=2&a=1").otherwise("?z=1&a=2"),
+            F.when(k % 5 == 0, "#frag").otherwise(""),
+        ).alias("url"),
+    )
+    return raw.select("p_partkey", "url", normalize_url(F.col("url")).alias("canonical"))
+
+
 def q_repetition_signals(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style repetition quality gates (duplicate-line fraction,
     duplicate-line char fraction, top-2-gram char fraction) over the
@@ -1510,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trapi_jsonl_roundtrip": q_trapi_jsonl_roundtrip,
         "repetition_signals": q_repetition_signals,
         "line_dedup": q_line_dedup,
+        "url_normalize": q_url_normalize,
         "media_features": q_media_features,
         "sssom_roundtrip": q_sssom_roundtrip,
         "obograph_roundtrip": q_obograph_roundtrip,
@@ -2144,6 +2167,44 @@ def oracle_sql() -> dict[str, str]:
                    'infores:agg1|infores:agg' || (p_partkey % 5) AS provided_by_attr,
                    CASE WHEN p_partkey % 4 = 0 THEN 'increased' END AS direction_qualifier
             FROM part
+        """,
+        "url_normalize": """
+            WITH raw AS (
+                SELECT p_partkey,
+                       'HTTP://Example.COM'
+                       || CASE WHEN p_partkey % 2 = 0 THEN ':80' ELSE '' END
+                       || '/Path/' || (p_partkey % 50)
+                       || CASE WHEN p_partkey % 3 = 0 THEN '?utm_source=x&b=2&a=1'
+                               ELSE '?z=1&a=2' END
+                       || CASE WHEN p_partkey % 5 = 0 THEN '#frag' ELSE '' END AS url
+                FROM part
+            ),
+            pieces AS (
+                SELECT p_partkey, url,
+                       lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+                       regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS rest,
+                       regexp_extract(url, '\\?([^#]*)', 1) AS query
+                FROM raw
+            ),
+            comp AS (
+                SELECT p_partkey, url, scheme,
+                       CASE WHEN scheme = 'http'
+                            THEN regexp_replace(lower(regexp_extract(rest, '^([^/?#]+)', 1)), ':80$', '')
+                            WHEN scheme = 'https'
+                            THEN regexp_replace(lower(regexp_extract(rest, '^([^/?#]+)', 1)), ':443$', '')
+                            ELSE lower(regexp_extract(rest, '^([^/?#]+)', 1)) END AS host,
+                       CASE WHEN regexp_extract(rest, '^[^/?#]+([^?#]*)', 1) = '' THEN '/'
+                            ELSE regexp_extract(rest, '^[^/?#]+([^?#]*)', 1) END AS path,
+                       list_sort(list_filter(string_split(query, '&'),
+                           p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)(=.*)?$')
+                       )) AS params
+                FROM pieces
+            )
+            SELECT p_partkey, url,
+                   scheme || '://' || host || path
+                   || CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&')
+                           ELSE '' END AS canonical
+            FROM comp
         """,
         "repetition_signals": """
             WITH toksrc AS (

@@ -115,6 +115,28 @@ def test_infores_rewrite_tuple(spark):
         "infores:chembl"
 
 
+def test_normalize_url(spark):
+    from kgx_spark.functions.urls import normalize_url
+
+    cases = {
+        # scheme/host lowercased, default port stripped, fragment dropped
+        "HTTP://Example.COM:80/Path/1#frag": "http://example.com/Path/1",
+        "https://A.b:443/": "https://a.b/",
+        # non-default port kept; path case kept
+        "http://a.b:8080/X": "http://a.b:8080/X",
+        # empty path → '/'
+        "http://a.b": "http://a.b/",
+        # params sorted, tracking params dropped, empty query dropped
+        "http://a.b/p?z=1&a=2&utm_source=x&fbclid=y": "http://a.b/p?a=2&z=1",
+        "http://a.b/p?utm_campaign=only": "http://a.b/p",
+        # non-URL values pass through untouched
+        "HGNC:123": "HGNC:123",
+        "not a url": "not a url",
+    }
+    for raw, want in cases.items():
+        assert one(spark, normalize_url(F.lit(raw))) == want, raw
+
+
 def test_edge_key_and_id(spark):
     # '{s}-{p}-{o}' per kgx/utils/kgx_utils.py:343-364
     key = one(spark, edge_key(F.lit("A:1"), F.lit("biolink:related_to"), F.lit("B:2")))
