@@ -1884,12 +1884,12 @@ def oracle_sql() -> dict[str, str]:
                        lower(trim(source_name)),
                        '\\s+', '_', 'g'),
                        '\\.+', '_', 'g'),
-                       '[^a-z0-9_]', '', 'g'), '_', '-') AS infores,
+                       '[^\\p{L}\\p{Nd}\\p{Nl}\\p{No}_]', '', 'g'), '_', '-') AS infores,
                    'infores:' || replace(regexp_replace(regexp_replace(regexp_replace(
                        lower(trim('trusted ' || regexp_replace(source_name, 'Supplier#0*', 'vendor ', 'g'))),
                        '\\s+', '_', 'g'),
                        '\\.+', '_', 'g'),
-                       '[^a-z0-9_]', '', 'g'), '_', '-') AS infores_rewritten
+                       '[^\\p{L}\\p{Nd}\\p{Nl}\\p{No}_]', '', 'g'), '_', '-') AS infores_rewritten
             FROM (SELECT DISTINCT s_name AS source_name FROM supplier)
         """,
         "curie_roundtrip": """
@@ -2138,7 +2138,7 @@ def oracle_sql() -> dict[str, str]:
                        lower(trim(knowledge_source)),
                        '\\s+', '_', 'g'),
                        '\\.+', '_', 'g'),
-                       '[^a-z0-9_]', '', 'g'), '_', '-') AS infores
+                       '[^\\p{L}\\p{Nd}\\p{Nl}\\p{No}_]', '', 'g'), '_', '-') AS infores
             FROM (SELECT 'The ' || n_name || ' Data. Source' AS knowledge_source FROM nation)
         """,
         "get_parents": """
@@ -2189,12 +2189,12 @@ def oracle_sql() -> dict[str, str]:
             comp AS (
                 SELECT p_partkey, url, scheme,
                        CASE WHEN scheme = 'http'
-                            THEN regexp_replace(lower(regexp_extract(rest, '^([^/?#]+)', 1)), ':80$', '')
+                            THEN regexp_replace(lower(regexp_extract(rest, '^([^/?#]*)', 1)), ':80$', '')
                             WHEN scheme = 'https'
-                            THEN regexp_replace(lower(regexp_extract(rest, '^([^/?#]+)', 1)), ':443$', '')
-                            ELSE lower(regexp_extract(rest, '^([^/?#]+)', 1)) END AS host,
-                       CASE WHEN regexp_extract(rest, '^[^/?#]+([^?#]*)', 1) = '' THEN '/'
-                            ELSE regexp_extract(rest, '^[^/?#]+([^?#]*)', 1) END AS path,
+                            THEN regexp_replace(lower(regexp_extract(rest, '^([^/?#]*)', 1)), ':443$', '')
+                            ELSE lower(regexp_extract(rest, '^([^/?#]*)', 1)) END AS host,
+                       CASE WHEN regexp_extract(rest, '^[^/?#]*([^?#]*)', 1) = '' THEN '/'
+                            ELSE regexp_extract(rest, '^[^/?#]*([^?#]*)', 1) END AS path,
                        list_sort(list_filter(string_split(query, '&'),
                            p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)(=.*)?$')
                        )) AS params

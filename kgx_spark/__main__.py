@@ -110,13 +110,34 @@ def main(argv: list[str] | None = None) -> int:
         return d
 
     if args.cmd == "transform":
-        if args.transform_config and args.input:
-            # cli_utils.py:607-608
-            ap.error("Can accept either --transform-config OR -i/--input, not both")
+        if args.transform_config:
+            # cli_utils.py:607-608 — and reject ALL single-source flags, not
+            # just -i: silently ignoring -o/--operations/filters would make
+            # the user think they were applied
+            conflicting = [
+                flag for flag, val in (
+                    ("-i/--input", args.input),
+                    ("--input-format", args.input_format),
+                    ("-o/--output", args.output),
+                    ("--output-format", args.output_format),
+                    ("--operations", args.operations),
+                    ("--node-filters", args.node_filters),
+                    ("--edge-filters", args.edge_filters),
+                ) if val
+            ]
+            if conflicting:
+                ap.error(
+                    "Can accept either --transform-config OR single-source "
+                    f"flags, not both (got: {', '.join(conflicting)})"
+                )
         if args.transform_config:
             from kgx_spark.transform import transform_config
 
-            graphs = transform_config(spark, args.transform_config, source=args.source)
+            # cache_graph: the counts below reuse the sinks' evaluation
+            # instead of re-running every source's read/filter/ops plan
+            graphs = transform_config(
+                spark, args.transform_config, source=args.source, cache_graph=True
+            )
             print(json.dumps({
                 k: {"nodes": n.count() if n is not None else 0,
                     "edges": e.count() if e is not None else 0}
@@ -132,6 +153,7 @@ def main(argv: list[str] | None = None) -> int:
         nodes, edges = transform(
             spark, input_args(),
             {"filename": args.output, "format": args.output_format}, ops,
+            cache_graph=True,
         )
         print(json.dumps({"nodes": nodes.count() if nodes is not None else 0,
                           "edges": edges.count() if edges is not None else 0}))

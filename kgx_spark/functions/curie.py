@@ -34,6 +34,29 @@ DEFAULT_PREFIX_MAP: dict[str, str] = {
 
 CURIE_REGEX = r"^[^ <()>:]*:[^/ :]+$"  # kgx/prefix_manager.py:166
 
+# OBO Foundry idspaces (public registry, obofoundry.org) — the prefixes the
+# generic PURL rule `http://purl.obolibrary.org/obo/{PFX}_{ref}` is valid
+# for. expand()'s fallback fires ONLY for these, so unknown NON-OBO
+# prefixes (UNIPROT, doi, infores, ...) pass through instead of being
+# fabricated into bogus OBO URIs; contract()'s fallback needs no list (it
+# fires only on genuine purl.obolibrary.org URIs by construction).
+OBO_IDSPACES = frozenset(
+    """AEO AGRO AISM AMPHX APO APOLLO_SV ARO BCO BFO BSPO BTO CARO CDAO CDNO
+    CHEBI CHIRO CHMO CIDO CIO CL CLAO CLO CLYH CMO COB COLAO CRO CTENO CTO
+    CVDO DDANAT DDPHENO DIDEO DISDRIV DOID DPO DRON DUO ECAO ECO ECOCORE
+    ECTO EMAPA ENVO EPIO EUPATH ExO FAO FBbt FBcv FBdv FIDEO FLOPO FMA FOBI
+    FOODON FOVT FYPO GECKO GENEPIO GENO GEO GNO GO GSSO HANCESTRO HAO HOM HP
+    HSAPDV HTN IAO ICEO ICO IDO INO KISAO LABO LEPAO MA MAMO MAXO MCO MF
+    MFMO MFOEM MFOMD MI MIAPA MICRO MMO MMUSDV MOD MONDO MOP MP MPATH MPIO
+    MRO MS NBO NCBITaxon NCIT NCRO NGBO NOMEN OAE OARCS OBA OBCS OBI OBIB
+    OGG OGMS OGSF OHD OHMI OHPI OMIT OMO OMP OMRSE ONE ONS ONTOAVIDA
+    ONTONEO OOSTT OPL OPMI ORNASEQ OVAE PATO PCO PDRO PDUMDV PECO PLANA
+    PLANP PO PORO PPO PR PROCO PSDO PSO PW RBO REX RO RS RXNO SBO SCDO
+    SEPIO SIBO SO SPD STATO SWO SYMP TAXRANK TO TRANS TTO TXPO UBERON UO
+    UPHENO VBO VO VT VTO WBbt WBls WBPhenotype XAO XCO XLMOD XPO ZECO ZFA
+    ZFS ZP""".split()
+)
+
 
 def is_curie(col: Column) -> Column:
     """Column<bool>: value matches the CURIE shape (prefix_manager.py:153-174)."""
@@ -89,20 +112,22 @@ def contract(col: Column, prefix_map: dict[str, str] | None = None) -> Column:
 def expand(col: Column, prefix_map: dict[str, str] | None = None) -> Column:
     """CURIE → URI (prefix_manager.py:104-124).
 
-    Symmetric to ``contract``: map entries win; CURIEs whose prefix is not in
-    the map but matches the OBO shape (``[A-Za-z][A-Za-z0-9]*``) expand via
-    the generic OBO-PURL rule ``PFX:ref → http://purl.obolibrary.org/obo/
+    Symmetric to ``contract``: map entries win; CURIEs whose prefix is a
+    registered OBO Foundry idspace (``OBO_IDSPACES``) expand via the
+    generic OBO-PURL rule ``PFX:ref → http://purl.obolibrary.org/obo/
     PFX_ref`` — the inverse of contract's fallback, so contract∘expand is
-    lossless for the whole OBO family (round-3 ADVICE; the reference gets
-    the same symmetry from the full Biolink JSON-LD context carrying one
-    entry per OBO ontology). Other unknown prefixes pass through.
+    lossless across the OBO family (round-3 ADVICE; the reference gets the
+    same symmetry from the full Biolink JSON-LD context carrying one entry
+    per OBO ontology). Unknown prefixes OUTSIDE the registry (UNIPROT,
+    doi, infores, ...) pass through untouched — fabricating OBO URIs for
+    them would be wrong, and the reference passes them through too.
     """
     pm = prefix_map or DEFAULT_PREFIX_MAP
     pfx = curie_prefix(col)
     mapping = F.create_map(*[F.lit(x) for kv in pm.items() for x in kv])
     uri = F.element_at(mapping, pfx)
     obo = F.when(
-        pfx.rlike(r"^[A-Za-z][A-Za-z0-9]*$"),
+        F.array_contains(F.array(*[F.lit(p) for p in sorted(OBO_IDSPACES)]), pfx),
         F.concat(
             F.lit("http://purl.obolibrary.org/obo/"), pfx, F.lit("_"), curie_reference(col)
         ),

@@ -46,7 +46,11 @@ def infores_curie(
     out = F.lower(F.trim(out))
     out = F.regexp_replace(out, r"\s+", "_")
     out = F.regexp_replace(out, r"\.+", "_")
-    out = F.regexp_replace(out, r"[^a-z0-9_]", "")
+    # the reference's re.sub(r"[\W]", "") is UNICODE-aware: Python \w =
+    # letters (L*), decimal/letter/other numbers (Nd/Nl/No) and '_', so
+    # 'café' keeps its é. \p-classes spell that same set in both Java
+    # (Spark) and RE2 (the DuckDB oracle).
+    out = F.regexp_replace(out, r"[^\p{L}\p{Nd}\p{Nl}\p{No}_]", "")
     out = F.regexp_replace(out, "_", "-")
     out = F.concat(F.lit("infores:"), out)
     return F.when(col.startswith("infores:"), col).otherwise(out)

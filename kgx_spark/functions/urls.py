@@ -33,11 +33,14 @@ def normalize_url(col: Column) -> Column:
     u = F.trim(col)
     scheme = F.lower(F.regexp_extract(u, _SCHEME_RX, 1))
     rest = F.regexp_replace(u, _SCHEME_RX, "")
-    hostport = F.lower(F.regexp_extract(rest, r"^([^/?#]+)", 1))
+    # authority may be EMPTY (file:///etc/hosts): the host pattern must
+    # accept zero chars and the path pattern must not require a host, or
+    # every empty-authority URL collapses to 'scheme:///'
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
     host = F.when(scheme == "http", F.regexp_replace(hostport, r":80$", "")).when(
         scheme == "https", F.regexp_replace(hostport, r":443$", "")
     ).otherwise(hostport)
-    path = F.regexp_extract(rest, r"^[^/?#]+([^?#]*)", 1)
+    path = F.regexp_extract(rest, r"^[^/?#]*([^?#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
     query = F.regexp_extract(u, r"\?([^#]*)", 1)
     params = F.array_sort(

@@ -23,6 +23,22 @@ from pyspark.sql import functions as F
 from kgx_spark.operators.textstats import tokens
 
 
+def cap_buckets(banded: DataFrame, keys: list[str], max_bucket_size: int) -> DataFrame:
+    """Drop every bucket whose membership exceeds ``max_bucket_size``
+    (left-semi against the small-bucket key set) — the shared degenerate-
+    bucket hygiene for ALL banding paths (MinHash bands here, SimHash
+    slices, and the embedding LSH tables in similarity.py, which imports
+    this): a bucket shared by k members emits O(k²) pairs, and oversized
+    buckets on skewed corpora are non-discriminative anyway."""
+    small = (
+        banded.groupBy(*keys)
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") <= max_bucket_size)
+        .select(*keys)
+    )
+    return banded.join(small, on=keys, how="left_semi")
+
+
 def word_set(df: DataFrame, id_col: str, text_col: str, ngram: int = 1) -> DataFrame:
     """(id, word) distinct — the n-gram shingle set (default 1-gram words).
 
@@ -112,13 +128,7 @@ def lsh_candidate_pairs(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     if max_bucket_size is not None:
-        small = (
-            banded.groupBy("band", "key")
-            .agg(F.count("*").alias("_n"))
-            .where(F.col("_n") <= max_bucket_size)
-            .select("band", "key")
-        )
-        banded = banded.join(small, on=["band", "key"], how="left_semi")
+        banded = cap_buckets(banded, ["band", "key"], max_bucket_size)
     a = banded.withColumnRenamed(id_col, "doc_a")
     b = banded.withColumnRenamed(id_col, "doc_b")
     return (
@@ -241,13 +251,7 @@ def simhash_near_dups(
         ).alias("band", "key"),
     )
     if max_bucket_size is not None:
-        small = (
-            banded.groupBy("band", "key")
-            .agg(F.count("*").alias("_n"))
-            .where(F.col("_n") <= max_bucket_size)
-            .select("band", "key")
-        )
-        banded = banded.join(small, on=["band", "key"], how="left_semi")
+        banded = cap_buckets(banded, ["band", "key"], max_bucket_size)
     a = banded.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("_sa"), "band", "key")
     b = banded.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("_sb"), "band", "key")
     hamming = F.aggregate(

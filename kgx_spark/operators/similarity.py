@@ -151,18 +151,10 @@ def quantized_topk(
     )
 
 
-def _cap_buckets(banded: DataFrame, keys: list[str], max_bucket_size: int) -> DataFrame:
-    """Drop every bucket whose membership exceeds max_bucket_size (left-semi
-    against the small-bucket key set) — identical hygiene to the MinHash-LSH
-    banding path (dedup.py): a bucket shared by k vectors emits O(k²) pairs,
-    and oversized buckets on skewed corpora are non-discriminative anyway."""
-    small = (
-        banded.groupBy(*keys)
-        .agg(F.count("*").alias("_n"))
-        .where(F.col("_n") <= max_bucket_size)
-        .select(*keys)
-    )
-    return banded.join(small, on=keys, how="left_semi")
+# the shared degenerate-bucket hygiene lives with the banding paths in
+# dedup.py (one definition for MinHash bands, SimHash slices and the
+# embedding LSH tables here)
+from kgx_spark.operators.dedup import cap_buckets as _cap_buckets  # noqa: E402
 
 
 def embedding_near_dups(

@@ -80,16 +80,20 @@ def read_kgx_tsv(
     cli_utils.py:585-596). Node-vs-edge inference by filename mirrors
     tsv_source.py:134-163.
     """
+    def expand_one(p: str) -> list[str]:
+        if p.endswith((".tar", ".tar.gz", ".tgz", ".tar.bz2")):
+            p = _extract_tar(p)
+        if os.path.isdir(p):
+            return sorted(glob.glob(os.path.join(p, f"*.{fmt}")))
+        return sorted(glob.glob(p)) or [p]
+
     if isinstance(path, (list, tuple)):
-        candidates = sorted(str(p) for p in path)
+        if not path:
+            raise ValueError("read_kgx_tsv: empty input file list")
+        # each element gets the SAME tar/dir/glob expansion as a scalar path
+        candidates = sorted(f for p in path for f in expand_one(str(p)))
     else:
-        if path.endswith((".tar", ".tar.gz", ".tgz", ".tar.bz2")):
-            path = _extract_tar(path)
-        candidates = (
-            sorted(glob.glob(os.path.join(path, f"*.{fmt}")))
-            if os.path.isdir(path)
-            else sorted(glob.glob(path)) or [path]
-        )
+        candidates = expand_one(path)
     node_files = [f for f in candidates if f"nodes.{fmt}" in os.path.basename(f)]
     edge_files = [f for f in candidates if f"edges.{fmt}" in os.path.basename(f)]
     nodes = read_nodes_tsv(spark, node_files, fmt, validate) if node_files else None

@@ -105,13 +105,14 @@ def read_source(spark: SparkSession, input_args: dict[str, Any]) -> Graph:
         df = nodes if which == "nodes" else edges
         if df is None:
             continue
-        filler = (
-            F.array(F.lit(default))
-            if default
-            else F.array(F.split_part(
+        if default:
+            # str or list — a multi-valued provenance stamps EVERY value
+            values = default if isinstance(default, (list, tuple)) else [default]
+            filler = F.array(*[F.lit(v) for v in values])
+        else:
+            filler = F.array(F.split_part(
                 F.element_at(F.split(F.input_file_name(), "/"), -1), F.lit("."), F.lit(1)
             ))
-        )
         if "provided_by" not in df.columns:
             df = df.withColumn("provided_by", filler)
         else:
@@ -219,12 +220,22 @@ def transform(
     input_args: dict[str, Any],
     output_args: dict[str, Any],
     operations: list[dict] | None = None,
+    cache_graph: bool = False,
 ) -> Graph:
     """kgx transform: source → filters → operations → sink
-    (kgx/transformer.py:135-299)."""
+    (kgx/transformer.py:135-299).
+
+    ``cache_graph`` caches nodes/edges BEFORE the sink write, so a caller
+    that inspects the returned frames afterwards (the CLI prints counts)
+    reuses the write's evaluation instead of re-running the whole
+    read/filter/operations plan per action.
+    """
     nodes, edges = read_source(spark, input_args)
     if operations:
         nodes, edges = apply_graph_operations(nodes, edges, operations)
+    if cache_graph:
+        nodes = nodes.cache() if nodes is not None else None
+        edges = edges.cache() if edges is not None else None
     write_sink(nodes, edges, output_args)
     return nodes, edges
 
@@ -233,6 +244,7 @@ def transform_config(
     spark: SparkSession,
     config_path: str,
     source: list[str] | None = None,
+    cache_graph: bool = False,
 ) -> dict[str, Graph]:
     """`kgx transform --transform-config` YAML orchestration
     (kgx/cli/cli_utils.py:552-720): multi-source fan-out, each source with
@@ -289,9 +301,11 @@ def transform_config(
         filenames = inp.get("filename")
         if isinstance(filenames, str):
             filenames = [filenames]
+        if not filenames:
+            raise ValueError(f"source '{key}' has no input filenames")
         resolved = [
             f if os.path.isabs(f) else os.path.normpath(os.path.join(cwd, f))
-            for f in (filenames or [])
+            for f in filenames
         ]
         filters = inp.get("filters") or {}
         input_args: dict[str, Any] = {
@@ -303,11 +317,12 @@ def transform_config(
         if filters.get("edge_filters"):
             input_args["edge_filters"] = filters["edge_filters"]
         # explicit per-source provenance (the reference's provided_by kwarg —
-        # transformer.py set_provenance_map); otherwise read_source defaults
-        # from the input filename, as the reference does
+        # transformer.py set_provenance_map); a LIST passes through whole
+        # (every value is stamped), otherwise read_source defaults from the
+        # input filename, as the reference does
         pb = inp.get("provided_by") or inp.get("default_provenance")
         if pb:
-            input_args["default_provenance"] = pb[0] if isinstance(pb, list) else pb
+            input_args["default_provenance"] = pb
 
         out = sp["output"]
         ofn = out.get("filename") or key
@@ -320,7 +335,9 @@ def transform_config(
             if opt in out:
                 output_args[opt] = out[opt]
 
-        results[key] = transform(spark, input_args, output_args, sp.get("operations"))
+        results[key] = transform(
+            spark, input_args, output_args, sp.get("operations"), cache_graph=cache_graph
+        )
         if conf.get("checkpoint"):
             # per-source TSV snapshot alongside the output
             # (cli_utils.py:953-956: "{output_directory}/{key}" in tsv)

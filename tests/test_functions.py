@@ -47,20 +47,21 @@ def test_contract_expand_roundtrip(spark):
     iri = "https://w3id.org/biolink/vocab/Gene"
     assert one(spark, contract(F.lit(iri))) == "biolink:Gene"
     assert one(spark, expand(F.lit("biolink:Gene"))) == iri
-    # unknown URI passes through contract; unknown NON-OBO-shaped prefix
-    # passes through expand
+    # unknown URI passes through contract; prefixes outside the OBO Foundry
+    # registry pass through expand UNCHANGED — no fabricated OBO URIs
     assert one(spark, contract(F.lit("http://unknown.example/x"))) == "http://unknown.example/x"
     assert one(spark, expand(F.lit("my-pfx:bar"))) == "my-pfx:bar"
-    # OBO-shaped unknown prefixes expand via the generic PURL rule — the
-    # inverse of contract's OBO fallback (round-3 ADVICE symmetry)
-    assert one(spark, expand(F.lit("FOO:bar"))) == "http://purl.obolibrary.org/obo/FOO_bar"
+    assert one(spark, expand(F.lit("FOO:bar"))) == "FOO:bar"
+    assert one(spark, expand(F.lit("UNIPROT:P12345"))) == "UNIPROT:P12345"
+    assert one(spark, expand(F.lit("infores:chembl"))) == "infores:chembl"
 
 
 def test_contract_expand_obo_symmetry(spark):
     """contract∘expand and expand∘contract are identity across the OBO
     family even for prefixes absent from the explicit map (GO is in the
-    default map; CHEBI/UBERON are not)."""
-    for curie in ("GO:0001", "CHEBI:15377", "UBERON:0002107"):
+    default map; the others ride the OBO_IDSPACES registry — including the
+    mixed-case NCBITaxon idspace)."""
+    for curie in ("GO:0001", "CHEBI:15377", "UBERON:0002107", "NCBITaxon:9606"):
         uri = one(spark, expand(F.lit(curie)))
         assert uri == f"http://purl.obolibrary.org/obo/{curie.replace(':', '_')}"
         assert one(spark, contract(F.lit(uri))) == curie
@@ -95,6 +96,9 @@ def test_infores(spark):
     # dot/space runs into one underscore each — exact substitution order
     assert one(spark, infores_curie(F.lit("foo-bar"))) == "infores:foobar"
     assert one(spark, infores_curie(F.lit("data. source"))) == "infores:data--source"
+    # Python's \W is Unicode-aware: accented letters are WORD chars and
+    # survive the strip, exactly as the reference's re.sub does
+    assert one(spark, infores_curie(F.lit("Café Données"))) == "infores:café-données"
 
 
 def test_infores_rewrite_tuple(spark):
@@ -129,6 +133,9 @@ def test_normalize_url(spark):
         # params sorted, tracking params dropped, empty query dropped
         "http://a.b/p?z=1&a=2&utm_source=x&fbclid=y": "http://a.b/p?a=2&z=1",
         "http://a.b/p?utm_campaign=only": "http://a.b/p",
+        # empty authority: path must survive, distinct URLs stay distinct
+        "file:///etc/hosts": "file:///etc/hosts",
+        "http:///foo/bar": "http:///foo/bar",
         # non-URL values pass through untouched
         "HGNC:123": "HGNC:123",
         "not a url": "not a url",

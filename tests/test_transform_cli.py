@@ -261,11 +261,36 @@ def test_cli_transform_config(spark, tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out == {"only": {"nodes": 3, "edges": 2}}
-    # --transform-config and -i are mutually exclusive (cli_utils.py:607-608)
+    # --transform-config conflicts with EVERY single-source flag — silently
+    # ignoring -o/--operations would fake their application
     import pytest as _pytest
 
-    with _pytest.raises(SystemExit):
-        main(["transform", "--transform-config", str(cfg_path), "-i", "x"])
+    for extra in (["-i", "x"], ["-o", "x"], ["--operations", "[]"],
+                  ["--node-filters", "{}"]):
+        with _pytest.raises(SystemExit):
+            main(["transform", "--transform-config", str(cfg_path), *extra])
+
+
+def test_read_kgx_tsv_list_expands_tars_and_dirs(spark, tsv_dir, tmp_path):
+    """A filename LIST must run each element through the same tar/dir/glob
+    expansion as a scalar path (a tar in a YAML file list was previously
+    read as raw bytes), and an empty list errors instead of silently
+    producing an empty graph."""
+    import pytest as _pytest
+
+    from kgx_spark.sinks.tsv import write_kgx_tsv
+    from kgx_spark.sources.tsv import read_kgx_tsv
+
+    nodes, edges = read_kgx_tsv(spark, str(tsv_dir))
+    tar_base = str(tmp_path / "packed")
+    write_kgx_tsv(nodes, edges, tar_base, compression="tar")
+    n2, e2 = read_kgx_tsv(spark, [f"{tar_base}.tar"])
+    assert n2.count() == 3 and e2.count() == 2
+    # dir element inside a list expands to its member files
+    n3, _ = read_kgx_tsv(spark, [str(tsv_dir)])
+    assert n3.count() == 3
+    with _pytest.raises(ValueError, match="empty input file list"):
+        read_kgx_tsv(spark, [])
 
 
 def test_cli_connector_verbs_parse_and_gate(spark, tsv_dir, capsys):
