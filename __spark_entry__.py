@@ -987,6 +987,21 @@ def _multiline_docs(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select("doc_id", text2.alias("text"))
 
 
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-stratum hash sampling (operators/sampling.py) — the
+    data-mixing primitive: language-dependent keep rates, decided by an
+    engine-portable md5 bucket of doc_id, so the SAME documents are kept at
+    any partitioning/cluster size (df.sample() is not reproducible across
+    layouts; this is)."""
+    from kgx_spark.operators.sampling import stratified_hash_sample
+
+    docs = _docs(spark, sf).select("doc_id", "lang")
+    return stratified_hash_sample(
+        docs, "doc_id", "lang",
+        {"en": 800, "de": 250, "fr": 500}, default_permille=100, salt="mix1",
+    )
+
+
 def q_url_normalize(spark: SparkSession, sf: str) -> DataFrame:
     """URL canonicalization (functions/urls.py): messy crawl URLs built
     from part rows — uppercase scheme/host, default ports, tracking params,
@@ -1533,6 +1548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "line_dedup": q_line_dedup,
         "url_normalize": q_url_normalize,
+        "stratified_sample": q_stratified_sample,
         "media_features": q_media_features,
         "sssom_roundtrip": q_sssom_roundtrip,
         "obograph_roundtrip": q_obograph_roundtrip,
@@ -2167,6 +2183,12 @@ def oracle_sql() -> dict[str, str]:
                    'infores:agg1|infores:agg' || (p_partkey % 5) AS provided_by_attr,
                    CASE WHEN p_partkey % 4 = 0 THEN 'increased' END AS direction_qualifier
             FROM part
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(('0x' || substr(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 1000
+                  < CASE lang WHEN 'en' THEN 800 WHEN 'de' THEN 250
+                              WHEN 'fr' THEN 500 ELSE 100 END
         """,
         "url_normalize": """
             WITH raw AS (

@@ -194,6 +194,29 @@ def test_remove_boilerplate_lines(spark):
     assert out[4]["text"] == "" and out[4]["n_removed"] == 2
 
 
+def test_hash_sampling_deterministic_and_partition_invariant(spark, docs):
+    """Hash sampling must (a) be reproducible across partition layouts —
+    the whole point vs df.sample() — (b) approximate the requested rate,
+    (c) draw independent samples under different salts, and (d) apply
+    per-stratum rates."""
+    from kgx_spark.operators.sampling import hash_sample, stratified_hash_sample
+
+    base = docs.select("doc_id", "lang")
+    kept1 = {r["doc_id"] for r in hash_sample(base, "doc_id", 300, salt="s1").collect()}
+    kept1b = {r["doc_id"] for r in hash_sample(base.repartition(13), "doc_id", 300, salt="s1").collect()}
+    assert kept1 == kept1b  # partition-layout invariant
+    n = base.count()
+    assert 0.2 * n < len(kept1) < 0.4 * n  # ~300‰
+    kept2 = {r["doc_id"] for r in hash_sample(base, "doc_id", 300, salt="s2").collect()}
+    assert kept1 != kept2  # independent draw under a new salt
+    strat = stratified_hash_sample(
+        base, "doc_id", "lang", {"en": 1000}, default_permille=0, salt="s1"
+    )
+    got = {r["lang"] for r in strat.collect()}
+    assert got == {"en"}  # full en, everything unlisted dropped
+    assert strat.count() == base.where(F.col("lang") == "en").count()
+
+
 def test_fingerprint_order_invariant(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma"), (2, "gamma  alpha beta"), (3, "alpha beta delta")],
