@@ -987,6 +987,15 @@ def _multiline_docs(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select("doc_id", text2.alias("text"))
 
 
+def q_ngram_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document n-gram overlap (exact-substring dedup family): the
+    fixture corpus plants byte-identical duplicate docs, which must show
+    shared_frac_1000 = 1000; organically-distinct docs score low."""
+    from kgx_spark.operators.dedup import cross_doc_ngram_overlap
+
+    return cross_doc_ngram_overlap(_docs(spark, sf), ngram=4, min_docs=2)
+
+
 def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic per-stratum hash sampling (operators/sampling.py) — the
     data-mixing primitive: language-dependent keep rates, decided by an
@@ -1549,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "url_normalize": q_url_normalize,
         "stratified_sample": q_stratified_sample,
+        "ngram_overlap": q_ngram_overlap,
         "media_features": q_media_features,
         "sssom_roundtrip": q_sssom_roundtrip,
         "obograph_roundtrip": q_obograph_roundtrip,
@@ -2183,6 +2193,38 @@ def oracle_sql() -> dict[str, str]:
                    'infores:agg1|infores:agg' || (p_partkey % 5) AS provided_by_attr,
                    CASE WHEN p_partkey % 4 = 0 THEN 'increased' END AS direction_qualifier
             FROM part
+        """,
+        "ngram_overlap": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> w <> '') AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, unnest(list_distinct(
+                    CASE WHEN len(t) >= 4 THEN list_transform(
+                        generate_series(1, len(t) - 3),
+                        i -> array_to_string(list_slice(t, i, i + 3), ' '))
+                    ELSE CAST([] AS VARCHAR[]) END)) AS gram
+                FROM toks
+            ),
+            shared AS (
+                SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+            ),
+            totals AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM grams GROUP BY 1),
+            ns AS (
+                SELECT g.doc_id, count(*)::BIGINT AS n_shared
+                FROM grams g JOIN shared s ON g.gram = s.gram GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(t.n_grams, 0)::BIGINT AS n_grams,
+                   coalesce(ns.n_shared, 0)::BIGINT AS n_shared,
+                   CASE WHEN coalesce(t.n_grams, 0) > 0
+                        THEN floor(coalesce(ns.n_shared, 0) * 1000.0 / t.n_grams)::BIGINT
+                        ELSE 0 END AS shared_frac_1000
+            FROM documents d
+            LEFT JOIN totals t USING (doc_id)
+            LEFT JOIN ns USING (doc_id)
         """,
         "stratified_sample": """
             SELECT doc_id, lang FROM documents

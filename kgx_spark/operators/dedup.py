@@ -193,6 +193,59 @@ def jaccard_pairs(
     return out
 
 
+def cross_doc_ngram_overlap(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document cross-corpus n-gram overlap — the doc-level signal of
+    the EXACT-SUBSTRING dedup family (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): the fraction of a document's
+    distinct word n-grams that also occur in at least ``min_docs - 1``
+    OTHER documents. High fractions flag near-verbatim cross-document
+    copying that MinHash/SimHash banding can miss when the copied span is
+    embedded in otherwise-distinct text.
+
+    → (id, n_grams, n_shared, shared_frac_1000). Fractions floor(×1000);
+    documents shorter than ``ngram`` words report 0 grams.
+
+    Scale shape: one (gram) shuffle for the document-frequency count
+    (map-side partial countDistinct), a semi-join of the per-doc shingle
+    set against the shared-gram set, one (id) re-aggregation. The shuffle
+    unit is a fixed-width shingle string, never document text; nothing is
+    all-pairs.
+    """
+    grams = word_set(df, id_col, text_col, ngram=ngram)  # distinct per doc
+    shared = (
+        grams.groupBy("word")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .where(F.col("_df") >= min_docs)
+        .select("word")
+    )
+    totals = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    n_shared = (
+        grams.join(shared, on="word", how="left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+    )
+    base = df.select(F.col(id_col))
+    return (
+        base.join(totals, on=id_col, how="left")
+        .join(n_shared, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+            F.when(
+                F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+                F.floor(F.coalesce(F.col("n_shared"), F.lit(0)) * 1000 / F.col("n_grams")),
+            ).otherwise(F.lit(0)).cast("bigint").alias("shared_frac_1000"),
+        )
+    )
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
     """SimHash fingerprint as a bit string.
 

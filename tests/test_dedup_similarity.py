@@ -194,6 +194,30 @@ def test_remove_boilerplate_lines(spark):
     assert out[4]["text"] == "" and out[4]["n_removed"] == 2
 
 
+def test_cross_doc_ngram_overlap(spark):
+    """Exact-substring family signal: verbatim copies score 1000; a doc
+    sharing half its shingles scores ~500; fully-unique docs score 0;
+    too-short docs report zero grams."""
+    from kgx_spark.operators.dedup import cross_doc_ngram_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),       # 3 distinct 4-grams, all shared with doc 2
+            (2, "a b c d e f"),       # verbatim copy
+            (3, "a b c d zz ww qq"),  # shares 'a b c d' only: 1 of 4 grams
+            (4, "p q r s t u"),       # unique
+            (5, "x y"),               # shorter than the shingle width
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in cross_doc_ngram_overlap(docs, ngram=4).collect()}
+    assert out[1]["shared_frac_1000"] == 1000 and out[2]["shared_frac_1000"] == 1000
+    assert out[3]["n_grams"] == 4 and out[3]["n_shared"] == 1
+    assert out[3]["shared_frac_1000"] == 250
+    assert out[4]["shared_frac_1000"] == 0
+    assert out[5]["n_grams"] == 0 and out[5]["shared_frac_1000"] == 0
+
+
 def test_hash_sampling_deterministic_and_partition_invariant(spark, docs):
     """Hash sampling must (a) be reproducible across partition layouts —
     the whole point vs df.sample() — (b) approximate the requested rate,
