@@ -987,6 +987,18 @@ def _multiline_docs(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select("doc_id", text2.alias("text"))
 
 
+def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic greedy-by-offset sequence packing per language stratum
+    (operators/sampling.assign_pack_ids): reproducible pack assignment at
+    any parallelism — the window cumsum is replayed exactly in SQL."""
+    from kgx_spark.operators.sampling import assign_pack_ids
+
+    docs = _docs(spark, sf).select("doc_id", "lang", "text")
+    return assign_pack_ids(
+        docs, budget_tokens=500, stratum_col="lang"
+    ).select("doc_id", "lang", "n_tokens", "pack_id", "offset_tokens")
+
+
 def q_ngram_overlap(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-document n-gram overlap (exact-substring dedup family): the
     fixture corpus plants byte-identical duplicate docs, which must show
@@ -1559,6 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "stratified_sample": q_stratified_sample,
         "ngram_overlap": q_ngram_overlap,
+        "pack_sequences": q_pack_sequences,
         "media_features": q_media_features,
         "sssom_roundtrip": q_sssom_roundtrip,
         "obograph_roundtrip": q_obograph_roundtrip,
@@ -2193,6 +2206,24 @@ def oracle_sql() -> dict[str, str]:
                    'infores:agg1|infores:agg' || (p_partkey % 5) AS provided_by_attr,
                    CASE WHEN p_partkey % 4 = 0 THEN 'increased' END AS direction_qualifier
             FROM part
+        """,
+        "pack_sequences": """
+            WITH base AS (
+                SELECT doc_id, lang,
+                       len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> ''))::BIGINT AS n_tokens
+                FROM documents
+            ),
+            cum AS (
+                SELECT doc_id, lang, n_tokens,
+                       (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - n_tokens)::BIGINT AS off
+                FROM base
+            )
+            SELECT doc_id, lang, n_tokens,
+                   floor(off / 500.0)::BIGINT AS pack_id,
+                   (off % 500)::BIGINT AS offset_tokens
+            FROM cum
         """,
         "ngram_overlap": """
             WITH toks AS (

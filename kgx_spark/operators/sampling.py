@@ -39,6 +39,48 @@ def hash_sample(
     return df.where(hash_bucket(F.col(key_col), salt) < rate_permille)
 
 
+def assign_pack_ids(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget_tokens: int = 2048,
+    stratum_col: str | None = None,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Deterministic sequence packing: assign each document to a
+    fixed-token-budget training pack by CUMULATIVE OFFSET within its
+    stratum — pack_id = floor(offset / budget) where offset is the running
+    token count of all earlier documents (ordered by ``order_col``,
+    default the id). A document belongs to the pack its span STARTS in and
+    may overflow the boundary by its own length (the standard
+    greedy-by-offset packing — the tokenizer chunks at sequence build
+    time; strict no-straddle packing is inherently sequential state).
+
+    → original columns + (n_tokens, pack_id, offset_tokens).
+
+    Scale shape: one shuffle+sort per stratum (the window). At corpus
+    scale pass a FINE-GRAINED ``stratum_col`` (e.g. lang × source ×
+    hash-bucket via sampling.hash_bucket) so no single stratum's sort
+    dominates; packs are only meaningful within a stratum anyway, and the
+    per-stratum assignment is reproducible at any parallelism.
+    """
+    from pyspark.sql import Window
+
+    order = order_col or id_col
+    n_tokens = F.size(F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""))
+    out = df.withColumn("n_tokens", n_tokens.cast("bigint"))
+    if stratum_col is None:
+        w = Window.partitionBy(F.lit(1)).orderBy(order)
+    else:
+        w = Window.partitionBy(stratum_col).orderBy(order)
+    cum = F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    offset = (cum - F.col("n_tokens")).cast("bigint")
+    return (
+        out.withColumn("pack_id", F.floor(offset / budget_tokens).cast("bigint"))
+        .withColumn("offset_tokens", (offset % budget_tokens).cast("bigint"))
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     key_col: str,

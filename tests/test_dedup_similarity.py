@@ -241,6 +241,32 @@ def test_hash_sampling_deterministic_and_partition_invariant(spark, docs):
     assert strat.count() == base.where(F.col("lang") == "en").count()
 
 
+def test_assign_pack_ids(spark):
+    """Greedy-by-offset packing: per-stratum cumulative token offsets decide
+    the pack; assignment is reproducible across partition layouts."""
+    from kgx_spark.operators.sampling import assign_pack_ids
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "a b c"),        # 3 tokens, offset 0  → pack 0
+            (2, "en", "d e f g"),      # offset 3            → pack 0
+            (3, "en", "h i"),          # offset 7 ≥ budget 6 → pack 1
+            (4, "de", "x y z w"),      # own stratum, offset 0 → pack 0
+        ],
+        "doc_id bigint, lang string, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           assign_pack_ids(docs, budget_tokens=6, stratum_col="lang").collect()}
+    assert (out[1]["pack_id"], out[1]["offset_tokens"]) == (0, 0)
+    assert (out[2]["pack_id"], out[2]["offset_tokens"]) == (0, 3)
+    assert (out[3]["pack_id"], out[3]["offset_tokens"]) == (1, 1)
+    assert (out[4]["pack_id"], out[4]["offset_tokens"]) == (0, 0)
+    # partition-layout invariance (the reproducibility claim)
+    out2 = {r["doc_id"]: (r["pack_id"], r["offset_tokens"]) for r in
+            assign_pack_ids(docs.repartition(7), budget_tokens=6, stratum_col="lang").collect()}
+    assert out2 == {k: (v["pack_id"], v["offset_tokens"]) for k, v in out.items()}
+
+
 def test_fingerprint_order_invariant(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma"), (2, "gamma  alpha beta"), (3, "alpha beta delta")],
