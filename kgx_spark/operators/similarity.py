@@ -36,6 +36,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+# the shared degenerate-bucket hygiene lives with the banding paths in
+# dedup.py (one definition for MinHash bands, SimHash slices and the
+# embedding LSH tables here)
+from kgx_spark.operators.dedup import cap_buckets as _cap_buckets
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -151,10 +156,6 @@ def quantized_topk(
     )
 
 
-# the shared degenerate-bucket hygiene lives with the banding paths in
-# dedup.py (one definition for MinHash bands, SimHash slices and the
-# embedding LSH tables here)
-from kgx_spark.operators.dedup import cap_buckets as _cap_buckets  # noqa: E402
 
 
 def embedding_near_dups(
