@@ -999,6 +999,16 @@ def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "lang", "n_tokens", "pack_id", "offset_tokens")
 
 
+def q_materialize_packs(spark: SparkSession, sf: str) -> DataFrame:
+    """Pack materialization: one training-sequence row per (lang, pack) —
+    documents concatenated in pack order, doc/token counts carried."""
+    from kgx_spark.operators.sampling import assign_pack_ids, materialize_packs
+
+    docs = _docs(spark, sf).select("doc_id", "lang", "text")
+    packed = assign_pack_ids(docs, budget_tokens=500, stratum_col="lang")
+    return materialize_packs(packed, stratum_col="lang")
+
+
 def q_ngram_overlap(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-document n-gram overlap (exact-substring dedup family): the
     fixture corpus plants byte-identical duplicate docs, which must show
@@ -1572,6 +1582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "ngram_overlap": q_ngram_overlap,
         "pack_sequences": q_pack_sequences,
+        "materialize_packs": q_materialize_packs,
         "media_features": q_media_features,
         "sssom_roundtrip": q_sssom_roundtrip,
         "obograph_roundtrip": q_obograph_roundtrip,
@@ -2206,6 +2217,25 @@ def oracle_sql() -> dict[str, str]:
                    'infores:agg1|infores:agg' || (p_partkey % 5) AS provided_by_attr,
                    CASE WHEN p_partkey % 4 = 0 THEN 'increased' END AS direction_qualifier
             FROM part
+        """,
+        "materialize_packs": """
+            WITH base AS (
+                SELECT doc_id, lang, text,
+                       len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> ''))::BIGINT AS n_tokens
+                FROM documents
+            ),
+            cum AS (
+                SELECT doc_id, lang, text, n_tokens,
+                       (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - n_tokens)::BIGINT AS off
+                FROM base
+            )
+            SELECT lang, floor(off / 500.0)::BIGINT AS pack_id,
+                   string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS text,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n_tokens)::BIGINT AS n_tokens
+            FROM cum GROUP BY 1, 2
         """,
         "pack_sequences": """
             WITH base AS (

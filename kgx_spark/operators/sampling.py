@@ -81,6 +81,41 @@ def assign_pack_ids(
     )
 
 
+def materialize_packs(
+    packed: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stratum_col: str | None = None,
+    order_col: str | None = None,
+    separator: str = "\n\n",
+) -> DataFrame:
+    """Assemble assign_pack_ids output into one training-sequence row per
+    pack: documents concatenated in pack order with ``separator`` between
+    them, plus doc/token counts.
+
+    → (``stratum?``, pack_id, text, n_docs, n_tokens).
+
+    Scale shape: one groupBy on (stratum, pack_id) — the pack key is
+    fine-grained by construction (≈ budget tokens of text per group), so
+    the sort_array per group touches a handful of rows and no group can be
+    hot. Deterministic: order inside a pack follows ``order_col`` (the
+    same order assign_pack_ids packed by).
+    """
+    order = order_col or id_col
+    keys = ([stratum_col] if stratum_col else []) + ["pack_id"]
+    return packed.groupBy(*keys).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col(order).alias("o"), F.col(text_col).alias("t")))),
+                lambda x: x["t"],
+            ),
+            separator,
+        ).alias(text_col),
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     key_col: str,

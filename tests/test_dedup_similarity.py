@@ -266,6 +266,17 @@ def test_assign_pack_ids(spark):
             assign_pack_ids(docs.repartition(7), budget_tokens=6, stratum_col="lang").collect()}
     assert out2 == {k: (v["pack_id"], v["offset_tokens"]) for k, v in out.items()}
 
+    # materialization: docs concatenate in pack order with counts carried
+    from kgx_spark.operators.sampling import materialize_packs
+
+    packs = {(r["lang"], r["pack_id"]): r for r in materialize_packs(
+        assign_pack_ids(docs, budget_tokens=6, stratum_col="lang"), stratum_col="lang"
+    ).collect()}
+    assert packs[("en", 0)]["text"] == "a b c\n\nd e f g"
+    assert packs[("en", 0)]["n_docs"] == 2 and packs[("en", 0)]["n_tokens"] == 7
+    assert packs[("en", 1)]["text"] == "h i"
+    assert packs[("de", 0)]["n_docs"] == 1
+
 
 def test_fingerprint_order_invariant(spark):
     df = spark.createDataFrame(
