@@ -1048,8 +1048,14 @@ def q_url_normalize(spark: SparkSession, sf: str) -> DataFrame:
             F.lit("HTTP://Example.COM"),
             F.when(k % 2 == 0, ":80").otherwise(""),
             F.lit("/Path/"), (k % 50).cast("string"),
-            F.when(k % 3 == 0, "?utm_source=x&b=2&a=1").otherwise("?z=1&a=2"),
-            F.when(k % 5 == 0, "#frag").otherwise(""),
+            # k%7==0: NO query, hash-route fragment whose '?' must NOT be
+            # read as a query; k%3==0: case-variant tracking param
+            F.when(k % 7 == 0, "").otherwise(
+                F.when(k % 3 == 0, "?UTM_Source=x&b=2&a=1").otherwise("?z=1&a=2")
+            ),
+            F.when(k % 7 == 0, "#/route?y=9").otherwise(
+                F.when(k % 5 == 0, "#frag").otherwise("")
+            ),
         ).alias("url"),
     )
     return raw.select("p_partkey", "url", normalize_url(F.col("url")).alias("canonical"))
@@ -2299,16 +2305,20 @@ def oracle_sql() -> dict[str, str]:
                        'HTTP://Example.COM'
                        || CASE WHEN p_partkey % 2 = 0 THEN ':80' ELSE '' END
                        || '/Path/' || (p_partkey % 50)
-                       || CASE WHEN p_partkey % 3 = 0 THEN '?utm_source=x&b=2&a=1'
+                       || CASE WHEN p_partkey % 7 = 0 THEN ''
+                               WHEN p_partkey % 3 = 0 THEN '?UTM_Source=x&b=2&a=1'
                                ELSE '?z=1&a=2' END
-                       || CASE WHEN p_partkey % 5 = 0 THEN '#frag' ELSE '' END AS url
+                       || CASE WHEN p_partkey % 7 = 0 THEN '#/route?y=9'
+                               WHEN p_partkey % 5 = 0 THEN '#frag'
+                               ELSE '' END AS url
                 FROM part
             ),
             pieces AS (
                 SELECT p_partkey, url,
                        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
                        regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS rest,
-                       regexp_extract(url, '\\?([^#]*)', 1) AS query
+                       regexp_extract(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''),
+                                      '^[^?#]*\\?([^#]*)', 1) AS query
                 FROM raw
             ),
             comp AS (
@@ -2321,7 +2331,7 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN regexp_extract(rest, '^[^/?#]*([^?#]*)', 1) = '' THEN '/'
                             ELSE regexp_extract(rest, '^[^/?#]*([^?#]*)', 1) END AS path,
                        list_sort(list_filter(string_split(query, '&'),
-                           p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)(=.*)?$')
+                           p -> p <> '' AND NOT regexp_matches(p, '(?i)^(utm_[^=]*|fbclid|gclid)(=.*)?$')
                        )) AS params
                 FROM pieces
             )

@@ -23,7 +23,10 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-TRACKING_PARAM_REGEX = r"^(utm_[^=]*|fbclid|gclid)(=.*)?$"
+# (?i): crawls carry case-variant tracking params (UTM_SOURCE=) that must
+# collapse the same as lowercase ones — param NAMES are matched
+# case-insensitively, values are untouched
+TRACKING_PARAM_REGEX = r"(?i)^(utm_[^=]*|fbclid|gclid)(=.*)?$"
 
 _SCHEME_RX = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
 
@@ -42,7 +45,10 @@ def normalize_url(col: Column) -> Column:
     ).otherwise(hostport)
     path = F.regexp_extract(rest, r"^[^/?#]*([^?#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    # query comes from the PRE-FRAGMENT slice: a '?' whose first appearance
+    # is inside the fragment ('http://x/p#/route?y=1' — hash-route SPA URLs
+    # are common in crawls) is part of the fragment, not a query
+    query = F.regexp_extract(rest, r"^[^?#]*\?([^#]*)", 1)
     params = F.array_sort(
         F.filter(
             F.split(query, "&"),

@@ -133,6 +133,12 @@ def test_normalize_url(spark):
         # params sorted, tracking params dropped, empty query dropped
         "http://a.b/p?z=1&a=2&utm_source=x&fbclid=y": "http://a.b/p?a=2&z=1",
         "http://a.b/p?utm_campaign=only": "http://a.b/p",
+        # tracking-param match is case-insensitive on the NAME
+        "http://a.b/p?UTM_Source=x&FBCLID=y&a=2": "http://a.b/p?a=2",
+        # a '?' first appearing inside the fragment is NOT a query
+        # (hash-route SPA URLs)
+        "http://x.y/p#/route?y=1": "http://x.y/p",
+        "http://x.y/p?a=1#/route?y=1": "http://x.y/p?a=1",
         # empty authority: path must survive, distinct URLs stay distinct
         "file:///etc/hosts": "file:///etc/hosts",
         "http:///foo/bar": "http:///foo/bar",
