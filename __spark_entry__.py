@@ -1937,13 +1937,15 @@ def oracle_sql() -> dict[str, str]:
         "infores_rewrite": """
             SELECT source_name,
                    'infores:' || replace(regexp_replace(regexp_replace(regexp_replace(
-                       lower(trim(source_name)),
-                       '\\s+', '_', 'g'),
+                       lower(regexp_replace(source_name,
+                           '^[\\t\\n\\x0B\\f\\r \\x1C-\\x1F\\x85\\p{Zs}\\p{Zl}\\p{Zp}]+|[\\t\\n\\x0B\\f\\r \\x1C-\\x1F\\x85\\p{Zs}\\p{Zl}\\p{Zp}]+$', '', 'g')),
+                       '[\\t\\n\\x0B\\f\\r \\x1C-\\x1F\\x85\\p{Zs}\\p{Zl}\\p{Zp}]+', '_', 'g'),
                        '\\.+', '_', 'g'),
                        '[^\\p{L}\\p{Nd}\\p{Nl}\\p{No}_]', '', 'g'), '_', '-') AS infores,
                    'infores:' || replace(regexp_replace(regexp_replace(regexp_replace(
-                       lower(trim('trusted ' || regexp_replace(source_name, 'Supplier#0*', 'vendor ', 'g'))),
-                       '\\s+', '_', 'g'),
+                       lower(regexp_replace('trusted ' || regexp_replace(source_name, 'Supplier#0*', 'vendor ', 'g'),
+                           '^[\\t\\n\\x0B\\f\\r \\x1C-\\x1F\\x85\\p{Zs}\\p{Zl}\\p{Zp}]+|[\\t\\n\\x0B\\f\\r \\x1C-\\x1F\\x85\\p{Zs}\\p{Zl}\\p{Zp}]+$', '', 'g')),
+                       '[\\t\\n\\x0B\\f\\r \\x1C-\\x1F\\x85\\p{Zs}\\p{Zl}\\p{Zp}]+', '_', 'g'),
                        '\\.+', '_', 'g'),
                        '[^\\p{L}\\p{Nd}\\p{Nl}\\p{No}_]', '', 'g'), '_', '-') AS infores_rewritten
             FROM (SELECT DISTINCT s_name AS source_name FROM supplier)
@@ -2191,8 +2193,9 @@ def oracle_sql() -> dict[str, str]:
         "infores_catalog": """
             SELECT DISTINCT knowledge_source,
                    'infores:' || replace(regexp_replace(regexp_replace(regexp_replace(
-                       lower(trim(knowledge_source)),
-                       '\\s+', '_', 'g'),
+                       lower(regexp_replace(knowledge_source,
+                           '^[\\t\\n\\x0B\\f\\r \\x1C-\\x1F\\x85\\p{Zs}\\p{Zl}\\p{Zp}]+|[\\t\\n\\x0B\\f\\r \\x1C-\\x1F\\x85\\p{Zs}\\p{Zl}\\p{Zp}]+$', '', 'g')),
+                       '[\\t\\n\\x0B\\f\\r \\x1C-\\x1F\\x85\\p{Zs}\\p{Zl}\\p{Zp}]+', '_', 'g'),
                        '\\.+', '_', 'g'),
                        '[^\\p{L}\\p{Nd}\\p{Nl}\\p{No}_]', '', 'g'), '_', '-') AS infores
             FROM (SELECT 'The ' || n_name || ' Data. Source' AS knowledge_source FROM nation)

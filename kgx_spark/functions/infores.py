@@ -13,6 +13,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Python's str.strip() / re.sub(r"\s+") are UNICODE-aware; Java's \s and
+# RE2's \s are ASCII-only. This class spells Python's whitespace set in
+# syntax both Java (Spark) and RE2 (the DuckDB oracle) accept: ASCII
+# control whitespace + \x1C-\x1F + NEL + the Z* separator categories.
+_WS = r"[\t\n\x0B\f\r \x1C-\x1F\x85\p{Zs}\p{Zl}\p{Zp}]"
+
 
 def infores_curie(
     col: Column, rewrite: tuple[str, ...] | list[str] | None = None
@@ -43,8 +49,11 @@ def infores_curie(
             out = F.regexp_replace(out, regex, substitution)
         if prefix:
             out = F.concat(F.lit(prefix + " "), out)
-    out = F.lower(F.trim(out))
-    out = F.regexp_replace(out, r"\s+", "_")
+    # Unicode-aware strip + \s+, matching Python's (F.trim strips only
+    # ASCII spaces and Java \s is ASCII-only — 'Name\t' and 'a b'
+    # would diverge from the reference otherwise)
+    out = F.lower(F.regexp_replace(out, f"^{_WS}+|{_WS}+$", ""))
+    out = F.regexp_replace(out, f"{_WS}+", "_")
     out = F.regexp_replace(out, r"\.+", "_")
     # the reference's re.sub(r"[\W]", "") is UNICODE-aware: Python \w =
     # letters (L*), decimal/letter/other numbers (Nd/Nl/No) and '_', so

@@ -99,6 +99,12 @@ def test_infores(spark):
     # Python's \W is Unicode-aware: accented letters are WORD chars and
     # survive the strip, exactly as the reference's re.sub does
     assert one(spark, infores_curie(F.lit("Café Données"))) == "infores:café-données"
+    # Python's strip()/\s are Unicode-aware: tab/NBSP whitespace behaves
+    # exactly like the reference ('Name\t' → 'infores:name', not 'name-';
+    # NBSP is a separator, not a deleted non-word char)
+    assert one(spark, infores_curie(F.lit("Name\t"))) == "infores:name"
+    assert one(spark, infores_curie(F.lit("a\u00a0b"))) == "infores:a-b"
+    assert one(spark, infores_curie(F.lit("\u2028x\u2029"))) == "infores:x"
 
 
 def test_infores_rewrite_tuple(spark):
