@@ -999,6 +999,21 @@ def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "lang", "n_tokens", "pack_id", "offset_tokens")
 
 
+def q_pack_sequences_tokenized(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing with a PLUGGED-IN token counter: budgets follow the
+    precomputed BPE-ish regex token count (textstats.regex_token_count)
+    instead of the default whitespace count — the oracle replays the same
+    regex so the per-pack offsets must agree token-for-token."""
+    from kgx_spark.operators.sampling import assign_pack_ids
+    from kgx_spark.operators.textstats import regex_token_count
+
+    docs = _docs(spark, sf).select("doc_id", "lang", "text")
+    docs = docs.withColumn("bpe_tokens", regex_token_count(F.col("text")).cast("bigint"))
+    return assign_pack_ids(
+        docs, budget_tokens=700, stratum_col="lang", token_count_col="bpe_tokens"
+    ).select("doc_id", "lang", "n_tokens", "pack_id", "offset_tokens")
+
+
 def q_materialize_packs(spark: SparkSession, sf: str) -> DataFrame:
     """Pack materialization: one training-sequence row per (lang, pack) —
     documents concatenated in pack order, doc/token counts carried."""
@@ -1588,6 +1603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "ngram_overlap": q_ngram_overlap,
         "pack_sequences": q_pack_sequences,
+        "pack_sequences_tokenized": q_pack_sequences_tokenized,
         "materialize_packs": q_materialize_packs,
         "media_features": q_media_features,
         "sssom_roundtrip": q_sssom_roundtrip,
@@ -2264,6 +2280,24 @@ def oracle_sql() -> dict[str, str]:
                    (off % 500)::BIGINT AS offset_tokens
             FROM cum
         """,
+        "pack_sequences_tokenized": """
+            WITH base AS (
+                SELECT doc_id, lang,
+                       len(regexp_extract_all(text, '{tok_rx}'))::BIGINT AS n_tokens
+                FROM documents
+            ),
+            cum AS (
+                SELECT doc_id, lang, n_tokens,
+                       (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - n_tokens)::BIGINT AS off
+                FROM base
+            )
+            SELECT doc_id, lang, n_tokens,
+                   floor(off / 700.0)::BIGINT AS pack_id,
+                   (off % 700)::BIGINT AS offset_tokens
+            FROM cum
+        """.replace("{tok_rx}", _TOKEN_RX_SQL),
         "ngram_overlap": """
             WITH toks AS (
                 SELECT doc_id,

@@ -46,6 +46,8 @@ def assign_pack_ids(
     budget_tokens: int = 2048,
     stratum_col: str | None = None,
     order_col: str | None = None,
+    token_count_col: str | None = None,
+    default_buckets: int = 4096,
 ) -> DataFrame:
     """Deterministic sequence packing: assign each document to a
     fixed-token-budget training pack by CUMULATIVE OFFSET within its
@@ -56,21 +58,38 @@ def assign_pack_ids(
     greedy-by-offset packing — the tokenizer chunks at sequence build
     time; strict no-straddle packing is inherently sequential state).
 
-    → original columns + (n_tokens, pack_id, offset_tokens).
+    ``token_count_col`` plugs in a precomputed token count (e.g.
+    textstats.regex_token_count for BPE-ish budgets) instead of the default
+    whitespace count — pack budgets then reflect the training tokenizer
+    without re-tokenizing here.
 
-    Scale shape: one shuffle+sort per stratum (the window). At corpus
-    scale pass a FINE-GRAINED ``stratum_col`` (e.g. lang × source ×
-    hash-bucket via sampling.hash_bucket) so no single stratum's sort
-    dominates; packs are only meaningful within a stratum anyway, and the
-    per-stratum assignment is reproducible at any parallelism.
+    → original columns + (n_tokens, pack_id, offset_tokens); with the
+    default stratum, also ``_pack_stratum`` (the hash bucket packs are
+    scoped to — materialize_packs groups on it automatically).
+
+    Scale shape: one shuffle+sort per stratum (the window). With
+    ``stratum_col=None`` documents are packed within
+    hash_bucket(id, ``default_buckets``) strata, so NO single-partition
+    global sort can exist at any corpus size; pass an explicit
+    fine-grained ``stratum_col`` (e.g. lang × source × hash-bucket) when
+    packs must not mix strata. Either way the assignment is reproducible
+    at any parallelism.
     """
     from pyspark.sql import Window
 
     order = order_col or id_col
-    n_tokens = F.size(F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""))
+    if token_count_col is not None:
+        n_tokens = F.col(token_count_col)
+    else:
+        n_tokens = F.size(F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""))
     out = df.withColumn("n_tokens", n_tokens.cast("bigint"))
     if stratum_col is None:
-        w = Window.partitionBy(F.lit(1)).orderBy(order)
+        # never a global window: bucket by id hash so the sort is
+        # per-bucket (~|corpus|/default_buckets rows) at any scale
+        out = out.withColumn(
+            "_pack_stratum", hash_bucket(F.col(id_col), salt="pack", buckets=default_buckets)
+        )
+        w = Window.partitionBy("_pack_stratum").orderBy(order)
     else:
         w = Window.partitionBy(stratum_col).orderBy(order)
     cum = F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -99,10 +118,15 @@ def materialize_packs(
     fine-grained by construction (≈ budget tokens of text per group), so
     the sort_array per group touches a handful of rows and no group can be
     hot. Deterministic: order inside a pack follows ``order_col`` (the
-    same order assign_pack_ids packed by).
+    same order assign_pack_ids packed by). With ``stratum_col=None`` the
+    ``_pack_stratum`` bucket column assign_pack_ids added is used as the
+    stratum key — pack_id alone is only unique within its stratum.
     """
     order = order_col or id_col
-    keys = ([stratum_col] if stratum_col else []) + ["pack_id"]
+    stratum = stratum_col
+    if stratum is None and "_pack_stratum" in packed.columns:
+        stratum = "_pack_stratum"
+    keys = ([stratum] if stratum else []) + ["pack_id"]
     return packed.groupBy(*keys).agg(
         F.array_join(
             F.transform(

@@ -278,6 +278,52 @@ def test_assign_pack_ids(spark):
     assert packs[("de", 0)]["n_docs"] == 1
 
 
+def test_assign_pack_ids_default_stratum_and_token_col(spark):
+    """The DEFAULT stratum is a hash bucket of the id (never one global
+    window); materialize_packs picks the bucket up automatically; a
+    precomputed token_count_col replaces the whitespace count."""
+    from kgx_spark.operators.sampling import assign_pack_ids, materialize_packs
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (i % 5 + 1)) for i in range(1, 41)],
+        "doc_id bigint, text string",
+    )
+    out = assign_pack_ids(docs, budget_tokens=8)
+    assert "_pack_stratum" in out.columns
+    rows = {r["doc_id"]: (r["_pack_stratum"], r["pack_id"], r["offset_tokens"])
+            for r in out.collect()}
+    # layout invariance holds for the default stratum too
+    rows2 = {r["doc_id"]: (r["_pack_stratum"], r["pack_id"], r["offset_tokens"])
+             for r in assign_pack_ids(docs.repartition(7), budget_tokens=8).collect()}
+    assert rows == rows2
+    # every doc's offset respects its own bucket's cumsum (replay in python)
+    import hashlib
+
+    def bucket(doc_id):
+        return int(hashlib.md5(f"pack{doc_id}".encode()).hexdigest()[:8], 16) % 4096
+
+    by_bucket: dict[int, list[int]] = {}
+    for i in range(1, 41):
+        assert rows[i][0] == bucket(i)
+        by_bucket.setdefault(bucket(i), []).append(i)
+    for b, ids in by_bucket.items():
+        off = 0
+        for i in sorted(ids):
+            assert rows[i][1] == off // 8 and rows[i][2] == off % 8
+            off += i % 5 + 1
+    # materialize groups on the bucket without being told
+    packs = materialize_packs(out)
+    assert "_pack_stratum" in packs.columns
+    assert packs.count() == len({(v[0], v[1]) for v in rows.values()})
+
+    # token_count_col: budgets follow the precomputed count, not whitespace
+    counted = docs.withColumn("bpe", (F.col("doc_id") % 3 + 1) * 4)
+    got = {r["doc_id"]: r["n_tokens"] for r in
+           assign_pack_ids(counted, budget_tokens=8, stratum_col=None,
+                           token_count_col="bpe").collect()}
+    assert got[1] == 8 and got[2] == 12 and got[3] == 4
+
+
 def test_fingerprint_order_invariant(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma"), (2, "gamma  alpha beta"), (3, "alpha beta delta")],

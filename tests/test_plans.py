@@ -235,3 +235,15 @@ def test_mention_detection_has_no_shuffle(spark):
     )
     p = plan_of(detect_mentions(pages))
     assert "Exchange" not in p and "Window" not in p
+
+
+def test_pack_assignment_never_single_partition(spark):
+    """assign_pack_ids with the DEFAULT stratum must window per id-hash
+    bucket: an Exchange SinglePartition here would funnel the whole corpus
+    through ONE task's sort at scale."""
+    from kgx_spark.operators.sampling import assign_pack_ids
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(assign_pack_ids(docs))
+    assert "SinglePartition" not in p
+    assert "_pack_stratum" in p  # the hash-bucket stratum is the window key
