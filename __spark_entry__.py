@@ -1102,9 +1102,9 @@ def q_trapi_jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     DISTRIBUTED (to_json lines → text sink — the format is splittable,
     unlike monolithic TRAPI) and salted with a malformed line and an id-less
     node record, both of which the reader must drop like the reference's
-    JSONDecodeError / missing-id branches. Provided edge ids are preserved
-    (the jsonl branch keeps them; only absent ids get the deterministic
-    fill)."""
+    JSONDecodeError / missing-id branches. Provided edge ids are preserved,
+    and id-less edge records are SKIPPED — the reference's `'id' in record`
+    guard; no id is synthesized on this path."""
     from kgx_spark.sources.trapi import read_trapi
 
     part = spark.read.parquet(f"{sf}/part.parquet")

@@ -282,7 +282,10 @@ def simhash_near_dups(
     EXACTLY on at least one slice, so candidates are same-slice pairs — a
     constant-size (band, slice) shuffle key per doc, never all-pairs.
     Verification counts differing bits across the full signature, JVM-side.
-    Exact (no false negatives) whenever max_hamming < bands.
+    Exact (no false negatives) whenever max_hamming < bands AND
+    ``max_bucket_size=None`` — the default cap trades that guarantee for
+    bounded work: pairs whose only shared slices sit in over-cap buckets
+    are not emitted.
 
     ``max_bucket_size`` (default ON at 10_000, same convention as
     lsh_candidate_pairs): slices shared by more than the cap are dropped

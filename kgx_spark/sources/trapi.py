@@ -246,8 +246,9 @@ def read_trapi_jsonl(
             F.col("r.qualifiers").alias("qualifiers"),
         ).alias("e"),
     )
-    # the record's own id is kept (the reference's jsonl branch preserves
-    # it); only absent ids get the deterministic fill
+    # the record's own id is kept, and id-LESS edge records are skipped by
+    # the isNotNull guard above — the same behavior as the reference's
+    # `'id' in record` requirement (no deterministic fill happens here)
     edges = generate_edge_identifiers(_shape_edges(edge_recs))
     nodes = sanitize_import(nodes)
     if validate:

@@ -335,15 +335,27 @@ def transform_config(
             if opt in out:
                 output_args[opt] = out[opt]
 
+        # checkpoint writes the SAME frames a second time — without a cache
+        # that second action re-runs the whole read/filter/operations plan,
+        # so force the cache whenever a checkpoint snapshot will follow
+        checkpoint = bool(conf.get("checkpoint"))
+        forced_cache = checkpoint and not cache_graph
         results[key] = transform(
-            spark, input_args, output_args, sp.get("operations"), cache_graph=cache_graph
+            spark, input_args, output_args, sp.get("operations"),
+            cache_graph=cache_graph or forced_cache,
         )
-        if conf.get("checkpoint"):
+        if checkpoint:
             # per-source TSV snapshot alongside the output
             # (cli_utils.py:953-956: "{output_directory}/{key}" in tsv)
             write_sink(*results[key], {
                 "filename": os.path.join(output_directory, key), "format": "tsv",
             })
+        if forced_cache:
+            # the caller didn't ask for cached frames — don't pin every
+            # source's graph in executor memory for the rest of the session
+            for frame in results[key]:
+                if frame is not None:
+                    frame.unpersist()
     return results
 
 

@@ -236,6 +236,54 @@ def test_transform_config_multi_source(spark, tmp_path):
         transform_config(spark, str(cfg_path), source=["nope"])
 
 
+def test_transform_config_checkpoint_caches_once(spark, tmp_path, monkeypatch):
+    """checkpoint: true runs two sink writes over the same frames; the
+    frames must be CACHED across them (one plan evaluation, not two full
+    re-runs of read/filter/operations), then released when the caller
+    didn't ask for cached graphs."""
+    import yaml
+
+    import kgx_spark.transform as T
+
+    d = tmp_path / "ckpt"
+    d.mkdir()
+    (d / "graph_nodes.tsv").write_text(NODES_TSV)
+    (d / "graph_edges.tsv").write_text(EDGES_TSV)
+    cfg = {
+        "configuration": {"output_directory": "out", "checkpoint": True},
+        "transform": {
+            "source": {
+                "src": {
+                    "input": {"format": "tsv",
+                              "filename": ["graph_nodes.tsv", "graph_edges.tsv"]},
+                    "output": {"format": "jsonl", "filename": ["snap"]},
+                }
+            }
+        },
+    }
+    cfg_path = d / "t.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    seen_cache_args = []
+    orig = T.transform
+
+    def spy(spark_, input_args, output_args, operations=None, cache_graph=False):
+        seen_cache_args.append(cache_graph)
+        out = orig(spark_, input_args, output_args, operations, cache_graph)
+        # both frames are cached here, so the checkpoint write that follows
+        # reuses the main write's evaluation instead of re-running the plan
+        assert out[0].storageLevel.useMemory and out[1].storageLevel.useMemory
+        return out
+
+    monkeypatch.setattr(T, "transform", spy)
+    res = T.transform_config(spark, str(cfg_path))  # cache_graph defaults False
+    assert seen_cache_args == [True]
+    # the forced cache is released after the snapshot
+    n, e = res["src"]
+    assert not n.storageLevel.useMemory and not e.storageLevel.useMemory
+    assert any(p.name.startswith("src") for p in (d / "out").iterdir())
+
+
 def test_cli_transform_config(spark, tmp_path, capsys):
     import yaml
 
