@@ -1533,12 +1533,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver's correctness gate records (at most) the
+    # FIRST 50 entries, so every SURVEY §2 reference surface comes first —
+    # one oracle per §2 operator family plus the two north-rule flagship
+    # queries (pipeline_triples, entity_link). The LLM-pipeline extras
+    # below the cut all have driver-green history (CORRECTNESS_r02–r04)
+    # and stay oracle-gated via tools/oracle_check.py. Round-5 rotation:
+    # 19 dedup/ANN/events/textstats variants moved below the cut to make
+    # room for the 19 §2 surfaces (format round-trips, remap/case/sanitize,
+    # infores catalog, provenance, duckdb pushdown, transform_ops) that
+    # had never appeared in the driver's window.
     return {
+        # §2.6 merge + §2.3 validate/filter
         "merge_nodes": q_merge_nodes,
         "merge_edges": q_merge_edges,
         "validate_nodes": q_validate_nodes,
         "filter_nodes_category": q_filter_nodes,
         "filter_edges_semijoin": q_filter_edges,
+        # §2.6 summary/meta-kg/validator
         "count_by_category": q_count_by_category,
         "count_by_id_prefix": q_count_by_id_prefix,
         "count_by_predicate": q_count_by_predicate,
@@ -1546,33 +1558,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": q_facet_counts,
         "meta_kg_nodes": q_meta_nodes,
         "meta_kg_edges": q_meta_edges,
+        "meta_kg_source_counts": q_meta_source_counts,
+        "meta_kg_edge_source_counts": q_meta_edge_source_counts,
         "validator_report": q_validator_report,
+        "validator_type_battery": q_validator_battery,
+        "validator_edge_report": q_validator_edges,
+        "duplicate_nodes": q_duplicate_nodes,
+        "dangling_edges": q_dangling_edges,
+        # §2.7 whole-graph ops + traversal
         "node_degree": q_degree,
         "fold_predicate": q_fold_predicate,
         "unfold_node_property": q_unfold_property,
         "remove_singletons": q_remove_singletons,
         "remap_node_identifier": q_remap_identifier,
+        "remap_node_property": q_remap_node_property,
+        "remap_edge_property": q_remap_edge_property,
         "clique_canonicalize": q_clique_canonicalize,
         "biolink_category_election": q_category_election,
-        "validator_type_battery": q_validator_battery,
-        "validator_edge_report": q_validator_edges,
-        "meta_kg_source_counts": q_meta_source_counts,
-        "meta_kg_edge_source_counts": q_meta_edge_source_counts,
         "graph_ancestors": q_graph_ancestors,
-        "ann_topk_lsh": q_ann_lsh,
+        "get_parents": q_get_parents,
+        # §2.4 scalar functions
         "infores_rewrite": q_infores,
+        "infores_catalog": q_infores_catalog,
+        "provenance_default": q_provenance_default,
         "curie_roundtrip": q_curie_roundtrip,
+        "case_format_functions": q_case_format,
         "sanitize_split": q_sanitize_split,
+        "sanitize_export": q_sanitize_export,
         "edge_keys": q_edge_keys,
+        # §2.1/§2.2 source/sink round-trips
+        "delimiter_sniff": q_delimiter_sniff,
+        "tsv_tar_roundtrip": q_tsv_tar_roundtrip,
+        "json_roundtrip": q_json_roundtrip,
+        "sssom_roundtrip": q_sssom_roundtrip,
+        "obograph_roundtrip": q_obograph_roundtrip,
+        "rdf_nt_roundtrip": q_rdf_nt_roundtrip,
+        "trapi_roundtrip": q_trapi_roundtrip,
+        "trapi_jsonl_roundtrip": q_trapi_jsonl_roundtrip,
+        "duckdb_pushdown": q_duckdb_pushdown,
+        # §2.8 orchestration
+        "transform_ops": q_transform_ops,
+        # north-rule flagship (KG construction over web pages)
+        "pipeline_triples": q_pipeline_triples,
+        "entity_link": q_entity_link,
+        # ---- driver-window cut (entries below are judge/oracle-gated) ----
+        "extract_text": q_extract_text,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash,
         "lsh_candidates": q_lsh_candidates,
         "ngram_jaccard": q_jaccard_pairs,
+        "ngram_overlap": q_ngram_overlap,
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dups,
         "curate_corpus": q_curate_corpus,
+        "line_dedup": q_line_dedup,
+        "repetition_signals": q_repetition_signals,
+        "url_normalize": q_url_normalize,
         "ann_topk_cosine": q_topk_cosine,
+        "ann_topk_lsh": q_ann_lsh,
+        "ann_topk_ivf": q_ann_ivf,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "events_window_agg": q_events_window,
         "events_sliding_window": q_events_sliding,
         "sessionize": q_sessionize,
@@ -1581,39 +1627,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality,
         "token_count": q_token_counts,
         "doc_fingerprint": q_fingerprint,
-        "extract_text": q_extract_text,
-        "pipeline_triples": q_pipeline_triples,
-        "entity_link": q_entity_link,
-        "remap_node_property": q_remap_node_property,
-        "remap_edge_property": q_remap_edge_property,
-        "case_format_functions": q_case_format,
-        "duplicate_nodes": q_duplicate_nodes,
-        "dangling_edges": q_dangling_edges,
-        "sanitize_export": q_sanitize_export,
-        "infores_catalog": q_infores_catalog,
-        "get_parents": q_get_parents,
-        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-        "ann_topk_ivf": q_ann_ivf,
-        "delimiter_sniff": q_delimiter_sniff,
-        "trapi_roundtrip": q_trapi_roundtrip,
-        "trapi_jsonl_roundtrip": q_trapi_jsonl_roundtrip,
-        "repetition_signals": q_repetition_signals,
-        "line_dedup": q_line_dedup,
-        "url_normalize": q_url_normalize,
         "stratified_sample": q_stratified_sample,
-        "ngram_overlap": q_ngram_overlap,
         "pack_sequences": q_pack_sequences,
         "pack_sequences_tokenized": q_pack_sequences_tokenized,
         "materialize_packs": q_materialize_packs,
         "media_features": q_media_features,
-        "sssom_roundtrip": q_sssom_roundtrip,
-        "obograph_roundtrip": q_obograph_roundtrip,
-        "rdf_nt_roundtrip": q_rdf_nt_roundtrip,
-        "tsv_tar_roundtrip": q_tsv_tar_roundtrip,
-        "json_roundtrip": q_json_roundtrip,
-        "duckdb_pushdown": q_duckdb_pushdown,
-        "provenance_default": q_provenance_default,
-        "transform_ops": q_transform_ops,
     }
 
 
