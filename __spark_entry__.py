@@ -1033,6 +1033,23 @@ def q_ngram_overlap(spark: SparkSession, sf: str) -> DataFrame:
     return cross_doc_ngram_overlap(_docs(spark, sf), ngram=4, min_docs=2)
 
 
+def q_remove_shared_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-level exact-substring REMOVAL (Lee et al. pipeline,
+    operators/dedup.remove_shared_spans): documents past the overlap gate
+    lose their verbatim cross-document spans (runs of ≥2 consecutive
+    shared shingle starts) and keep the unique remainder — the fixture's
+    byte-identical duplicates clean to empty text, organic docs pass
+    through untouched. The oracle replays the full shingle-run
+    reconstruction (positional grams → run grouping → coverage anti-join
+    → ordered reassembly) in SQL."""
+    from kgx_spark.operators.dedup import remove_shared_spans
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    return remove_shared_spans(
+        docs, ngram=4, min_docs=2, min_frac=0.5, min_run_grams=2
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic per-stratum hash sampling (operators/sampling.py) — the
     data-mixing primitive: language-dependent keep rates, decided by an
@@ -1608,6 +1625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidates": q_lsh_candidates,
         "ngram_jaccard": q_jaccard_pairs,
         "ngram_overlap": q_ngram_overlap,
+        "remove_shared_spans": q_remove_shared_spans,
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dups,
         "curate_corpus": q_curate_corpus,
@@ -2347,6 +2365,68 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN totals t USING (doc_id)
             LEFT JOIN ns USING (doc_id)
+        """,
+        "remove_shared_spans": """
+            WITH toks AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '') AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, i AS start,
+                       lower(array_to_string(list_slice(t, i, i + 3), ' ')) AS gram
+                FROM toks, UNNEST(generate_series(1, len(t) - 3)) AS s(i)
+            ),
+            shared AS (
+                SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+            ),
+            stats AS (
+                SELECT g.doc_id, count(DISTINCT g.gram) AS n_grams,
+                       count(DISTINCT CASE WHEN sh.gram IS NOT NULL THEN g.gram END) AS n_shared
+                FROM grams g LEFT JOIN shared sh USING (gram)
+                GROUP BY g.doc_id
+            ),
+            gated AS (
+                SELECT doc_id FROM stats
+                WHERE n_grams > 0 AND floor(n_shared * 1000.0 / n_grams) >= 500
+            ),
+            starts AS (
+                SELECT DISTINCT g.doc_id, g.start
+                FROM grams g JOIN shared USING (gram) JOIN gated USING (doc_id)
+            ),
+            runs AS (
+                SELECT doc_id, min(start) AS s0, max(start) AS s1
+                FROM (SELECT doc_id, start,
+                             start - row_number() OVER (PARTITION BY doc_id ORDER BY start) AS grp
+                      FROM starts)
+                GROUP BY doc_id, grp
+                HAVING count(*) >= 2
+            ),
+            covered AS (
+                SELECT DISTINCT doc_id, p
+                FROM runs, UNNEST(generate_series(s0, s1 + 3)) AS u(p)
+            ),
+            tok_pos AS (
+                SELECT q.doc_id, i AS pos, q.t[i] AS word
+                FROM (SELECT tk.doc_id, tk.t FROM toks tk JOIN gated USING (doc_id)) q,
+                     UNNEST(generate_series(1, len(q.t))) AS s(i)
+            ),
+            survive AS (
+                SELECT tp.doc_id,
+                       string_agg(tp.word, ' ' ORDER BY tp.pos) AS clean,
+                       count(*) AS kept
+                FROM tok_pos tp
+                ANTI JOIN covered c ON tp.doc_id = c.doc_id AND tp.pos = c.p
+                GROUP BY tp.doc_id
+            )
+            SELECT tk.doc_id,
+                   CASE WHEN g.doc_id IS NOT NULL THEN coalesce(s.clean, '')
+                        ELSE tk.text END AS text_clean,
+                   (CASE WHEN g.doc_id IS NOT NULL THEN len(tk.t) - coalesce(s.kept, 0)
+                         ELSE 0 END)::BIGINT AS n_tokens_removed
+            FROM toks tk
+            LEFT JOIN gated g USING (doc_id)
+            LEFT JOIN survive s USING (doc_id)
         """,
         "stratified_sample": """
             SELECT doc_id, lang FROM documents

@@ -246,6 +246,136 @@ def cross_doc_ngram_overlap(
     )
 
 
+def remove_shared_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 8,
+    min_docs: int = 2,
+    min_frac: float = 0.5,
+    min_run_grams: int = 1,
+) -> DataFrame:
+    """Span-level exact-substring dedup — the REMOVAL operator of the Lee
+    et al. pipeline ("Deduplicating Training Data Makes Language Models
+    Better"): instead of dropping whole documents, drop the verbatim
+    cross-document spans and keep the unique remainder.
+
+    A document qualifies when its distinct-shingle overlap fraction
+    (cross_doc_ngram_overlap's shared_frac_1000) reaches ``min_frac``.
+    Within a qualifying document, every maximal RUN of consecutive shared
+    shingle starts (shingles occurring in ≥ ``min_docs`` documents) of at
+    least ``min_run_grams`` shingles is a span; all token positions the
+    span's shingles cover are removed and the survivors are re-joined with
+    single spaces (original whitespace is not preserved — standard for
+    token-level pipelines). Non-qualifying documents pass through with
+    their text untouched.
+
+    → (id, text_clean, n_tokens_removed).
+
+    Scale shape: shuffle keys are fixed-width shingle strings and
+    (id, position) ints — never document text, never all-pairs. One gram
+    document-frequency groupBy (map-side combinable), semi-joins on the
+    shared-gram key, a per-document window for run grouping (document ids
+    are maximally fine-grained), one (id) reassembly groupBy. Boilerplate
+    corpora make a few gram keys hot; AQE skew handling splits those
+    semi-join partitions, and the output of each is bounded by the input
+    gram rows.
+    """
+    n = ngram
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), F.col(text_col), toks.alias("_toks"))
+
+    # positional shingles, built narrow inside the token array; matching is
+    # case-insensitive (lowered gram) like the rest of the shingle family,
+    # while the rebuilt text keeps the original casing
+    # (sequence(1, stop) DESCENDS when stop < 1 — guard short docs)
+    windowed = F.transform(
+        F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+        lambda i: F.lower(F.concat_ws(" ", F.slice(F.col("_toks"), i, n))),
+    )
+    gram_arr = F.when(F.size("_toks") >= n, windowed).otherwise(
+        F.array().cast("array<string>")
+    )
+    grams = base.select(
+        F.col(id_col), F.posexplode(gram_arr).alias("_p0", "gram")
+    ).select(F.col(id_col), (F.col("_p0") + 1).alias("start"), "gram")
+
+    shared = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .where(F.col("_df") >= min_docs)
+        .select("gram")
+    )
+
+    # gate on the DISTINCT-shingle overlap fraction (same statistic as
+    # cross_doc_ngram_overlap, computed from the positional grams)
+    dg = grams.select(id_col, "gram").distinct()
+    stats = (
+        dg.join(shared.withColumn("_hit", F.lit(1)), on="gram", how="left")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_grams"), F.count("_hit").alias("n_shared"))
+    )
+    gated = stats.where(
+        (F.col("n_grams") > 0)
+        & (F.floor(F.col("n_shared") * 1000 / F.col("n_grams")) >= int(min_frac * 1000))
+    ).select(id_col)
+
+    # shared shingle starts in qualifying docs → maximal consecutive runs
+    from pyspark.sql import Window
+
+    starts = (
+        grams.join(shared, on="gram", how="left_semi")
+        .join(gated, on=id_col, how="left_semi")
+        .select(id_col, "start")
+        .distinct()
+    )
+    w = Window.partitionBy(id_col).orderBy("start")
+    runs = (
+        starts.withColumn("_grp", F.col("start") - F.row_number().over(w))
+        .groupBy(id_col, "_grp")
+        .agg(F.min("start").alias("_s0"), F.max("start").alias("_s1"), F.count("*").alias("_c"))
+        .where(F.col("_c") >= min_run_grams)
+    )
+    covered = runs.select(
+        F.col(id_col), F.explode(F.sequence(F.col("_s0"), F.col("_s1") + (n - 1))).alias("pos")
+    ).distinct()
+
+    # surviving tokens, reassembled in order
+    tok_pos = base.join(gated, on=id_col, how="left_semi").select(
+        F.col(id_col), F.posexplode(F.col("_toks")).alias("_p0", "word")
+    ).select(F.col(id_col), (F.col("_p0") + 1).alias("pos"), "word")
+    survive = (
+        tok_pos.join(covered, on=[id_col, "pos"], how="left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda x: x["word"],
+                ),
+                " ",
+            ).alias("_clean"),
+            F.count("*").alias("_kept"),
+        )
+    )
+
+    is_gated = F.col("_g").isNotNull()
+    return (
+        base.join(gated.withColumn("_g", F.lit(1)), on=id_col, how="left")
+        .join(survive, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.when(is_gated, F.coalesce(F.col("_clean"), F.lit(""))).otherwise(
+                F.col(text_col)
+            ).alias("text_clean"),
+            F.when(is_gated, F.size("_toks") - F.coalesce(F.col("_kept"), F.lit(0)))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens_removed"),
+        )
+    )
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
     """SimHash fingerprint as a bit string.
 

@@ -218,6 +218,64 @@ def test_cross_doc_ngram_overlap(spark):
     assert out[5]["n_grams"] == 0 and out[5]["shared_frac_1000"] == 0
 
 
+def test_remove_shared_spans(spark):
+    """Span-level exact-substring removal: the verbatim shared span (and
+    only it) is cut from qualifying docs; below-threshold and short docs
+    pass through; verbatim full copies clean to empty; casing of the kept
+    text is preserved while matching is case-insensitive."""
+    from kgx_spark.operators.dedup import remove_shared_spans
+
+    shared_run = "s1 s2 s3 s4 s5 s6"  # 3 consecutive shared 4-gram starts
+    docs = spark.createDataFrame(
+        [
+            (1, f"Alpha beta {shared_run} gamma delta"),
+            (2, f"other words {shared_run.upper()} more other tail words"),
+            (3, "p q r s t u v w x y z unique only here"),  # nothing shared
+            (4, "x y"),  # shorter than the shingle width
+            (5, "c1 c2 c3 c4 c5"),
+            (6, "c1 c2 c3 c4 c5"),  # verbatim copy of 5 → both clean to ''
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           remove_shared_spans(docs, ngram=4, min_docs=2, min_frac=0.2,
+                               min_run_grams=1).collect()}
+    # doc 1: 10 tokens, grams at 1..7; shared grams are starts 3..5 wait —
+    # the shared run covers positions 3..8 → tokens s1..s6 removed
+    assert out[1]["text_clean"] == "Alpha beta gamma delta"
+    assert out[1]["n_tokens_removed"] == 6
+    # doc 2: same span uppercase — matching is case-insensitive, and the
+    # SURVIVING text keeps its original casing
+    assert out[2]["text_clean"] == "other words more other tail words"
+    assert out[2]["n_tokens_removed"] == 6
+    assert out[3]["text_clean"] == docs.where(F.col("doc_id") == 3).first()["text"]
+    assert out[3]["n_tokens_removed"] == 0
+    assert out[4]["text_clean"] == "x y" and out[4]["n_tokens_removed"] == 0
+    assert out[5]["text_clean"] == "" and out[5]["n_tokens_removed"] == 5
+    assert out[6]["text_clean"] == ""
+
+    # min_frac gate: doc 1 shares 3 of 7 grams (428‰) — a 0.5 gate skips it
+    gated = {r["doc_id"]: r for r in
+             remove_shared_spans(docs, ngram=4, min_docs=2, min_frac=0.5,
+                                 min_run_grams=1).collect()}
+    assert gated[1]["n_tokens_removed"] == 0
+    assert gated[5]["text_clean"] == ""  # full copies still qualify
+
+    # min_run_grams: isolated single shared starts are kept
+    iso = spark.createDataFrame(
+        [(1, "k1 k2 k3 k4 a b c"), (2, "k1 k2 k3 k4 x y z")],
+        "doc_id bigint, text string",
+    )
+    kept = {r["doc_id"]: r for r in
+            remove_shared_spans(iso, ngram=4, min_docs=2, min_frac=0.1,
+                                min_run_grams=2).collect()}
+    assert kept[1]["n_tokens_removed"] == 0  # run of 1 < min_run_grams
+    cut = {r["doc_id"]: r for r in
+           remove_shared_spans(iso, ngram=4, min_docs=2, min_frac=0.1,
+                               min_run_grams=1).collect()}
+    assert cut[1]["text_clean"] == "a b c" and cut[1]["n_tokens_removed"] == 4
+
+
 def test_hash_sampling_deterministic_and_partition_invariant(spark, docs):
     """Hash sampling must (a) be reproducible across partition layouts —
     the whole point vs df.sample() — (b) approximate the requested rate,

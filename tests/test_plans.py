@@ -237,6 +237,19 @@ def test_mention_detection_has_no_shuffle(spark):
     assert "Exchange" not in p and "Window" not in p
 
 
+def test_remove_shared_spans_scale_shape(spark):
+    """Span removal must stay on shingle/position keys: no cartesian, no
+    Python eval, no single-partition exchange (the run-grouping window is
+    per-document)."""
+    from kgx_spark.operators.dedup import remove_shared_spans
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(remove_shared_spans(docs))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SinglePartition" not in p
+
+
 def test_pack_assignment_never_single_partition(spark):
     """assign_pack_ids with the DEFAULT stratum must window per id-hash
     bucket: an Exchange SinglePartition here would funnel the whole corpus
