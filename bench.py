@@ -151,14 +151,22 @@ def main() -> None:
     # alias-dictionary join + TF-IDF candidate scoring)
     def _link():
         from kgx_spark.pipeline.extract import extract_text
-        from kgx_spark.pipeline.link import detect_mentions, link_mentions
+        from kgx_spark.pipeline.link import (
+            alias_first_tokens,
+            detect_mentions,
+            link_mentions,
+        )
         from kgx_spark.pipeline.synth import synth_alias_dict, synth_pages
 
         raw_pages = synth_pages(spark, sf_dir)
         n_pages = raw_pages.count()
+        alias_dict = synth_alias_dict(spark, sf_dir)
         linked = link_mentions(
-            detect_mentions(extract_text(raw_pages)),
-            synth_alias_dict(spark, sf_dir),
+            detect_mentions(
+                extract_text(raw_pages),
+                first_tokens=alias_first_tokens(alias_dict),
+            ),
+            alias_dict,
             n_pages=n_pages,
         )
         return _noop(linked)

@@ -19,7 +19,12 @@ from kgx_spark.operators.clique import clique_merge
 from kgx_spark.operators.merge import merge_edges, merge_nodes
 from kgx_spark.operators.validate import validate_edges, validate_nodes
 from kgx_spark.pipeline.extract import extract_text
-from kgx_spark.pipeline.link import detect_mentions, link_mentions, linked_mention_edges
+from kgx_spark.pipeline.link import (
+    alias_first_tokens,
+    detect_mentions,
+    link_mentions,
+    linked_mention_edges,
+)
 from kgx_spark.pipeline.stages import Stage, run_stages
 from kgx_spark.pipeline.synth import synth_alias_dict, synth_pages
 from kgx_spark.pipeline.triples import extract_triples
@@ -60,7 +65,13 @@ def build_stages(
         # NOT derived inside link_mentions, which would execute the n-gram
         # explode twice (once for the count, once for the linking plan).
         n_pages = ctx["extract"].count()
-        mentions = detect_mentions(ctx["extract"])
+        # first-token prune: result-identical (an n-gram whose first token
+        # starts no alias can't survive the dictionary join) and cuts the
+        # exploded mention volume by the corpus's non-entity token fraction
+        # (measured 27.2→15.2 s min at sf0.1/local[32], identical rows).
+        mentions = detect_mentions(
+            ctx["extract"], first_tokens=alias_first_tokens(alias_dict)
+        )
         return link_mentions(mentions, alias_dict, n_pages=n_pages)
 
     def s_edges_raw(spark: SparkSession, ctx: dict) -> DataFrame:

@@ -22,8 +22,27 @@ from pyspark.sql import Window
 from kgx_spark.operators.textstats import tokens
 
 
+def alias_first_tokens(alias_dict: DataFrame, alias_col: str = "alias") -> list[str]:
+    """Distinct first tokens of the alias surface forms, collected
+    driver-side (bounded by the dictionary, which is broadcast-sized by
+    contract). Feed to detect_mentions(first_tokens=...) to prune n-gram
+    starts that can never match any alias."""
+    return [
+        r["t"]
+        for r in alias_dict.select(
+            F.element_at(F.split(F.trim(F.lower(F.col(alias_col))), r"\s+"), 1).alias("t")
+        )
+        .where(F.col("t").isNotNull() & (F.col("t") != ""))
+        .distinct()
+        .collect()
+    ]
+
+
 def detect_mentions(
-    pages: DataFrame, max_ngram: int = 3, text_col: str = "extracted_text"
+    pages: DataFrame,
+    max_ngram: int = 3,
+    text_col: str = "extracted_text",
+    first_tokens: list[str] | None = None,
 ) -> DataFrame:
     """(url, mention, pos) candidate surface forms: all 1..max_ngram word
     n-grams, lowercased; ``pos`` is the starting token index.
@@ -33,31 +52,69 @@ def detect_mentions(
     map over the page scan. (The previous design posexploded tokens and ran
     lead() over a (url, pos) window — a full shuffle AND sort of the entire
     token stream, per n-gram length; at 10^12 documents that shuffle IS the
-    job. Same output, zero exchanges.)"""
+    job. Same output, zero exchanges.)
+
+    ``first_tokens`` (from alias_first_tokens) prunes INSIDE the array,
+    before the explode: an n-gram whose first token is no alias's first
+    token can never survive the downstream dictionary equality join, so
+    dropping it early is result-identical while shrinking the exploded
+    row volume by the corpus's non-entity token fraction (typically most
+    of it). The membership test compiles to a Catalyst InSet hash probe,
+    and positions are carried in a (pos, mention) struct so mid-array
+    pruning cannot shift them."""
     toks_col = tokens(F.lower(F.col(text_col)))
     base = pages.select("url", toks_col.alias("_toks"))
     t = F.col("_toks")
     grams = []
     for n in range(1, max_ngram + 1):
-        # element i (0-based) → concat of tokens[i+1 .. i+n] (element_at is
-        # 1-based); positions past size-n yield null and are filtered, so
-        # posexplode's pos == the n-gram's starting token index
-        gram_arr = F.filter(
-            F.transform(
-                t,
-                lambda x, i: F.when(
-                    i + n <= F.size(t),
-                    F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)]),
+        if first_tokens is None:
+            # element i (0-based) → concat of tokens[i+1 .. i+n] (element_at
+            # is 1-based); positions past size-n yield null and are filtered
+            # — nulls only at the TAIL, so posexplode's pos == the n-gram's
+            # starting token index
+            gram_arr = F.filter(
+                F.transform(
+                    t,
+                    lambda x, i: F.when(
+                        i + n <= F.size(t),
+                        F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)]),
+                    ),
                 ),
-            ),
-            lambda v: v.isNotNull(),
-        )
-        grams.append(
-            base.select(
-                "url",
-                F.posexplode(gram_arr).alias("pos", "mention"),
-            ).withColumn("ngram_len", F.lit(n))
-        )
+                lambda v: v.isNotNull(),
+            )
+            grams.append(
+                base.select(
+                    "url",
+                    F.posexplode(gram_arr).alias("pos", "mention"),
+                ).withColumn("ngram_len", F.lit(n))
+            )
+        else:
+            # pruned starts leave HOLES mid-array, so positions ride along
+            # in a struct instead of relying on post-filter indices
+            pair_arr = F.filter(
+                F.transform(
+                    t,
+                    lambda x, i: F.struct(
+                        i.alias("pos"),
+                        F.when(
+                            (i + n <= F.size(t)) & x.isin(first_tokens),
+                            F.concat_ws(
+                                " ", *[F.element_at(t, i + j + 1) for j in range(n)]
+                            ),
+                        ).alias("mention"),
+                    ),
+                ),
+                lambda s: s["mention"].isNotNull(),
+            )
+            grams.append(
+                base.select("url", F.explode(pair_arr).alias("_g"))
+                .select(
+                    "url",
+                    F.col("_g.pos").alias("pos"),
+                    F.col("_g.mention").alias("mention"),
+                )
+                .withColumn("ngram_len", F.lit(n))
+            )
     out = grams[0]
     for e in grams[1:]:
         out = out.unionByName(e)
@@ -82,7 +139,10 @@ def link_mentions(
     Pass ``n_pages`` (the corpus page count, known cheaply from the pages
     table) — deriving it here would run the expensive n-gram explode once for
     the count and AGAIN for the main plan (round-1 judge finding). The
-    fallback distinct-count is kept only for callers without a page count.
+    fallback distinct-count is kept only for callers without a page count;
+    it is additionally WRONG under first-token-pruned mentions (pages whose
+    grams were all pruned vanish from the count), so pruning callers must
+    always pass ``n_pages``.
 
     ``dense_dictionary``: the default path materializes ``hits`` once
     (localCheckpoint) because the idf table is an aggregate OF hits that

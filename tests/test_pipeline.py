@@ -90,6 +90,41 @@ def test_entity_linking(spark, pages):
     assert linked.exceptAll(linked2).count() == 0
 
 
+def test_entity_linking_first_token_prune(spark, pages):
+    """The first-token prune is result-identical: an n-gram whose first
+    token starts no alias can never survive the dictionary equality join,
+    so pruned linking output == unpruned linking output; pruned mentions
+    are a subset with positions PRESERVED (mid-array holes must not shift
+    pos); the pruned plan stays shuffle-free."""
+    from kgx_spark.pipeline.link import alias_first_tokens
+
+    alias_dict = synth_alias_dict(spark, SF)
+    ft = alias_first_tokens(alias_dict)
+    assert ft and all(" " not in t for t in ft)
+    extracted = extract_text(pages)
+
+    pruned = detect_mentions(extracted, first_tokens=ft)
+    full = detect_mentions(extracted)
+    # subset with identical (url, pos, mention, ngram_len)
+    assert pruned.exceptAll(full).count() == 0
+    # every surviving mention starts with a dictionary first token
+    stray = pruned.where(
+        ~F.element_at(F.split(F.col("mention"), " "), 1).isin(ft)
+    )
+    assert stray.count() == 0
+
+    # n_pages must be passed explicitly under pruning: the fallback derives
+    # it from the mentions frame, and pruning can drop whole pages from it
+    n_pages = extracted.count()
+    linked_pruned = link_mentions(pruned, alias_dict, n_pages=n_pages)
+    linked_full = link_mentions(detect_mentions(extracted), alias_dict, n_pages=n_pages)
+    assert linked_pruned.exceptAll(linked_full).count() == 0
+    assert linked_full.exceptAll(linked_pruned).count() == 0
+    # (shuffle-free-ness of the pruned plan is pinned in test_plans.py —
+    # the synth-pages fixture itself contains a groupBy, so asserting on
+    # this plan would test the fixture, not the stage)
+
+
 def test_entity_linking_dense_dictionary_guard(spark, pages):
     """Dense-dictionary mode (hits ≈ mentions) must produce identical links
     while materializing only the idf AGGREGATE, never mention-scale hits

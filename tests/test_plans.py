@@ -235,6 +235,10 @@ def test_mention_detection_has_no_shuffle(spark):
     )
     p = plan_of(detect_mentions(pages))
     assert "Exchange" not in p and "Window" not in p
+    # the first-token-pruned variant must stay equally narrow (the InSet
+    # membership probe is a scalar expression, not a join)
+    p2 = plan_of(detect_mentions(pages, first_tokens=["alpha", "beta"]))
+    assert "Exchange" not in p2 and "Window" not in p2 and "Join" not in p2
 
 
 def test_remove_shared_spans_scale_shape(spark):
