@@ -1390,6 +1390,45 @@ def q_rdf_nt_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_jelly_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Jelly binary RDF round-trip THROUGH the pure-Python codec
+    (reference: kgx/parsers/jelly_parser.py:41-49 pyjelly flat-triple
+    parse; kgx/sink/rdf_sink.py:89-108 delimited TRIPLES stream write):
+    write_jelly encodes the shared term rows into delimited protobuf
+    frames with name/prefix lookup tables and repeated-term elision;
+    read_jelly decodes per part file and re-shapes through the SAME
+    dereification path as N-Triples."""
+    from kgx_spark.sinks.jelly import write_jelly
+    from kgx_spark.sources.jelly import read_jelly
+
+    part = spark.read.parquet(f"{sf}/part.parquet")
+    key = F.col("p_partkey").cast("string")
+    nodes = part.select(
+        F.concat(F.lit("HGNC:"), key).alias("id"),
+        F.col("p_name").alias("name"),
+        F.array(F.lit("biolink:Gene")).alias("category"),
+    )
+    e1 = part.select(
+        F.concat(F.lit("HGNC:"), key).alias("subject"),
+        F.lit("biolink:related_to").alias("predicate"),
+        F.concat(F.lit("NCBIGene:"), (F.col("p_partkey") % 100).cast("string")).alias("object"),
+    )
+    e2 = part.where(F.col("p_partkey") % 3 == 0).select(
+        F.concat(F.lit("HGNC:"), key).alias("subject"),
+        F.lit("biolink:interacts_with").alias("predicate"),
+        F.concat(F.lit("NCBIGene:"), (F.col("p_partkey") % 7).cast("string")).alias("object"),
+    )
+    path = tempfile.mkdtemp(prefix="kgx_jelly_")
+    write_jelly(nodes, e1.unionByName(e2), path)
+    rnodes, redges = read_jelly(spark, path)
+    return (
+        redges.select("subject", "predicate", "object")
+        .join(rnodes.select(F.col("id").alias("subject"), F.col("name").alias("subject_name")),
+              on="subject", how="left")
+        .select("subject", "predicate", "object", "subject_name")
+    )
+
+
 def q_tsv_tar_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """TSV sink→source round-trip THROUGH a tar.gz archive
     (tsv_sink.py:39-238 + tsv_source.py:83-113): reference column ordering,
@@ -1622,6 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssom_roundtrip": q_sssom_roundtrip,
         "obograph_roundtrip": q_obograph_roundtrip,
         "rdf_nt_roundtrip": q_rdf_nt_roundtrip,
+        "jelly_roundtrip": q_jelly_roundtrip,
         "trapi_roundtrip": q_trapi_roundtrip,
         "trapi_jsonl_roundtrip": q_trapi_jsonl_roundtrip,
         "duckdb_pushdown": q_duckdb_pushdown,
@@ -2619,6 +2659,15 @@ def oracle_sql() -> dict[str, str]:
             FROM part
         """,
         "rdf_nt_roundtrip": """
+            SELECT 'HGNC:' || p_partkey AS subject, 'biolink:related_to' AS predicate,
+                   'NCBIGene:' || (p_partkey % 100) AS object, p_name AS subject_name
+            FROM part
+            UNION ALL
+            SELECT 'HGNC:' || p_partkey, 'biolink:interacts_with',
+                   'NCBIGene:' || (p_partkey % 7), p_name
+            FROM part WHERE p_partkey % 3 = 0
+        """,
+        "jelly_roundtrip": """
             SELECT 'HGNC:' || p_partkey AS subject, 'biolink:related_to' AS predicate,
                    'NCBIGene:' || (p_partkey % 100) AS object, p_name AS subject_name
             FROM part

@@ -4,10 +4,12 @@ Reference: kgx/sink/rdf_sink.py:55-603 — node properties become literal
 triples; edges become either direct triples or reified rdf:Statement stanzas
 (reify_all_edges — 214+); property typing via the biolink property-type map.
 
-Spark design: every record explodes into NT-formatted text rows
-(concat expressions, JVM-side) and `df.write.text` — a distributed writer,
-unlike the reference's sequential file append. Jelly is out of scope
-(driver-side library format).
+Spark design: every record explodes into term rows (s, p, o, o_literal)
+via `graph_term_rows` — the serialization-independent triple stream —
+then NT formats them as text (concat expressions, JVM-side) and
+`df.write.text` writes distributed, unlike the reference's sequential
+file append. The Jelly sink (sinks/jelly.py) encodes the SAME term rows
+with the pure-Python codec instead.
 """
 
 from __future__ import annotations
@@ -21,50 +23,58 @@ from kgx_spark.functions.curie import expand
 _BIOLINK = "https://w3id.org/biolink/vocab/"
 
 
-def _iri(col):
-    return F.concat(F.lit("<"), expand(col), F.lit(">"))
-
-
 def _lit_str(col):
     escaped = F.regexp_replace(col.cast("string"), r'(["\\])', r"\\$1")
     return F.concat(F.lit('"'), escaped, F.lit('"'))
 
 
-def _node_triples(nodes: DataFrame) -> DataFrame:
+def _node_term_rows(nodes: DataFrame) -> DataFrame:
+    """Node properties → term rows (s, p, o, o_literal): s/p full IRIs,
+    o a full IRI or the RAW literal lexical form (escaping is a concern of
+    the serialization, not the term)."""
     from kgx_spark.functions.biolink import SLOT_TYPES
 
     rows = []
     for field in nodes.schema.fields:
         if field.name == "id":
             continue
-        pred = F.lit(f"<{_BIOLINK}{field.name}>")
+        pred = F.lit(f"{_BIOLINK}{field.name}")
         # uriorcurie-typed slots (category, xref, same_as, …) serialize as
         # resources, everything else as string literals — the reference
         # resolves this per property via get_type_for_property
         # (kgx_utils.py:509-546) inside rdf_sink's _prepare_object
         is_resource = SLOT_TYPES.get(field.name, ("string", False))[0] == "uriorcurie"
-        fmt = _iri if is_resource else _lit_str
         if isinstance(field.dataType, T.ArrayType):
-            val = F.explode(F.col(field.name))
-            rows.append(
+            base = (
                 nodes.where(F.col(field.name).isNotNull())
-                .select(F.col("id"), val.alias("v"))
-                .select(F.concat_ws(" ", _iri(F.col("id")), pred, fmt(F.col("v")), F.lit(".")).alias("value"))
+                .select(F.col("id"), F.explode(F.col(field.name)).alias("v"))
             )
         else:
-            rows.append(
-                nodes.where(F.col(field.name).isNotNull())
-                .select(F.concat_ws(" ", _iri(F.col("id")), pred, fmt(F.col(field.name)), F.lit(".")).alias("value"))
+            base = nodes.where(F.col(field.name).isNotNull()).select(
+                F.col("id"), F.col(field.name).alias("v")
             )
+        rows.append(
+            base.select(
+                expand(F.col("id")).alias("s"),
+                pred.alias("p"),
+                (expand(F.col("v")) if is_resource else F.col("v").cast("string")).alias("o"),
+                F.lit(not is_resource).alias("o_literal"),
+            )
+        )
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
 
 
-def _edge_triples(edges: DataFrame, reify: bool) -> DataFrame:
+def _edge_term_rows(edges: DataFrame, reify: bool) -> DataFrame:
+    """Edges → term rows; reified statement subjects are '_:'-prefixed
+    bnode labels (serializations format them without angle brackets)."""
     direct = edges.select(
-        F.concat_ws(" ", _iri(F.col("subject")), _iri(F.col("predicate")), _iri(F.col("object")), F.lit(".")).alias("value")
+        expand(F.col("subject")).alias("s"),
+        expand(F.col("predicate")).alias("p"),
+        expand(F.col("object")).alias("o"),
+        F.lit(False).alias("o_literal"),
     )
     if not reify:
         return direct
@@ -73,25 +83,61 @@ def _edge_triples(edges: DataFrame, reify: bool) -> DataFrame:
     parts = []
     for role, col in (("subject", "subject"), ("predicate", "predicate"), ("object", "object")):
         parts.append(
-            edges.select(F.concat_ws(" ", stmt, F.lit(f"<{rdf}{role}>"), _iri(F.col(col)), F.lit(".")).alias("value"))
+            edges.select(
+                stmt.alias("s"),
+                F.lit(f"{rdf}{role}").alias("p"),
+                expand(F.col(col)).alias("o"),
+                F.lit(False).alias("o_literal"),
+            )
         )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.unionByName(
-        edges.select(F.concat_ws(" ", stmt, F.lit(f"<{rdf}type>"), F.lit(f"<{rdf}Statement>"), F.lit(".")).alias("value"))
+        edges.select(
+            stmt.alias("s"),
+            F.lit(f"{rdf}type").alias("p"),
+            F.lit(f"{rdf}Statement").alias("o"),
+            F.lit(False).alias("o_literal"),
+        )
     )
+
+
+def graph_term_rows(
+    nodes: DataFrame | None, edges: DataFrame | None, reify_all_edges: bool = False
+) -> DataFrame:
+    """The serialization-independent triple stream shared by the NT and
+    Jelly sinks: (s, p, o, o_literal) with full IRIs / '_:' bnodes / raw
+    literal lexical forms."""
+    parts = []
+    if nodes is not None:
+        parts.append(_node_term_rows(nodes))
+    if edges is not None:
+        parts.append(_edge_term_rows(edges, reify_all_edges))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    # a null object (e.g. a null array element) has no triple — previously
+    # the NT formatter emitted a malformed '<s> <p> .' line for these
+    return out.where(F.col("o").isNotNull())
+
+
+def _format_nt(terms: DataFrame) -> DataFrame:
+    s = F.col("s")
+    o = F.col("o")
+    s_fmt = F.when(s.startswith("_:"), s).otherwise(F.concat(F.lit("<"), s, F.lit(">")))
+    o_fmt = (
+        F.when(F.col("o_literal"), _lit_str(o))
+        .when(o.startswith("_:"), o)
+        .otherwise(F.concat(F.lit("<"), o, F.lit(">")))
+    )
+    p_fmt = F.concat(F.lit("<"), F.col("p"), F.lit(">"))
+    return terms.select(F.concat_ws(" ", s_fmt, p_fmt, o_fmt, F.lit(".")).alias("value"))
 
 
 def write_ntriples(
     nodes: DataFrame | None, edges: DataFrame | None, path: str, reify_all_edges: bool = False
 ) -> None:
-    parts = []
-    if nodes is not None:
-        parts.append(_node_triples(nodes))
-    if edges is not None:
-        parts.append(_edge_triples(edges, reify_all_edges))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    out.write.mode("overwrite").text(path)
+    _format_nt(graph_term_rows(nodes, edges, reify_all_edges)).write.mode(
+        "overwrite"
+    ).text(path)

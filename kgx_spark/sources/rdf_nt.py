@@ -74,7 +74,16 @@ def parse_ntriples(spark: SparkSession, path: str, include_bnodes: bool = False)
             ),
             F.lit(""),
         ).alias("object_iri"),
-        F.nullif(F.regexp_extract("value", _NT_RE, 6), F.lit("")).alias("object_literal"),
+        # unescape \" and \\ — the exact inverse of the sink's literal
+        # escaping (reference NT parsers likewise unescape on read); other
+        # NT escapes (\n, \uXXXX) are never produced by the sink and pass
+        # through untouched
+        F.nullif(
+            F.regexp_replace(
+                F.regexp_extract("value", _NT_RE, 6), r'\\(["\\])', r"$1"
+            ),
+            F.lit(""),
+        ).alias("object_literal"),
     ).where(F.col("subject_iri").isNotNull())
     if not include_bnodes:
         out = out.where(
@@ -87,7 +96,16 @@ def parse_ntriples(spark: SparkSession, path: str, include_bnodes: bool = False)
 def read_ntriples(
     spark: SparkSession, path: str, prefix_map: dict[str, str] | None = None, validate: bool = True
 ) -> tuple[DataFrame, DataFrame]:
-    triples = parse_ntriples(spark, path)
+    return shape_triples(parse_ntriples(spark, path), prefix_map, validate)
+
+
+def shape_triples(
+    triples: DataFrame, prefix_map: dict[str, str] | None = None, validate: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """triples(subject_iri, predicate_iri, object_iri, object_literal) →
+    (nodes, edges): the serialization-independent KGX shaping (property
+    dispatch, dereification, CURIE contraction) shared by the NT and Jelly
+    sources — both produce the same 4-column triple frame."""
     prop_map = F.create_map(*[F.lit(x) for kv in _NODE_PROPERTY_IRIS.items() for x in kv])
     t = triples.select(
         contract(F.col("subject_iri"), prefix_map).alias("s"),

@@ -68,6 +68,12 @@ def read_source(spark: SparkSession, input_args: dict[str, Any]) -> Graph:
         from kgx_spark.sources.rdf_nt import read_ntriples
 
         nodes, edges = read_ntriples(spark, path)
+    elif fmt == "jelly":
+        # reference routes format="jelly" into the shared RDF triple path
+        # (rdf_source.py:163-166)
+        from kgx_spark.sources.jelly import read_jelly
+
+        nodes, edges = read_jelly(spark, path)
     elif fmt in ("trapi", "trapi:jsonl"):
         # the reference's TrapiSource parse(format=...) json/jsonl split
         # (trapi_source.py:29-67)
@@ -161,6 +167,10 @@ def write_sink(nodes: DataFrame | None, edges: DataFrame | None, output_args: di
         from kgx_spark.sinks.rdf_nt import write_ntriples
 
         write_ntriples(nodes, edges, path, reify_all_edges=output_args.get("reify_all_edges", False))
+    elif fmt == "jelly":
+        from kgx_spark.sinks.jelly import write_jelly
+
+        write_jelly(nodes, edges, path, reify_all_edges=output_args.get("reify_all_edges", False))
     elif fmt == "json":
         from kgx_spark.sinks.trapi import write_kgx_json
 
