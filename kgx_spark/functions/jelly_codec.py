@@ -160,13 +160,23 @@ class _Table:
     the decoder's `table[id] = value` semantics handle natively."""
 
     def __init__(self, max_size: int) -> None:
+        if max_size < 1:
+            # spec-legal "no table" streams put full IRIs in the name table;
+            # this encoder always splits, so it needs at least one slot
+            raise ValueError("jelly encoder tables need max_size >= 1")
         self.max = max_size
         self.ids: dict[str, int] = {}
         self._slots: list[str] = []
         self._clock = 0
 
-    def lookup(self, value: str) -> tuple[int, bool]:
-        """(id, is_new). is_new means an entry row must be emitted."""
+    def lookup(self, value: str, in_use: set[int]) -> tuple[int, bool]:
+        """(id, is_new). is_new means an entry row must be emitted.
+
+        ``in_use`` holds ids already referenced by the triple currently
+        being encoded: evicting one of those would overwrite the entry
+        BEFORE the decoder reads the triple row that references it (all
+        entry rows precede their triple row), silently corrupting the
+        stream — found by the property test at tiny table sizes."""
         got = self.ids.get(value)
         if got is not None:
             return got, False
@@ -174,8 +184,18 @@ class _Table:
             self._slots.append(value)
             new_id = len(self._slots)
         else:
-            new_id = self._clock + 1
-            self._clock = (self._clock + 1) % self.max
+            new_id = None
+            for _ in range(self.max):
+                cand = self._clock + 1
+                self._clock = (self._clock + 1) % self.max
+                if cand not in in_use:
+                    new_id = cand
+                    break
+            if new_id is None:
+                raise ValueError(
+                    "jelly encoder lookup table too small for one triple "
+                    "— use a max table size of at least 8"
+                )
             del self.ids[self._slots[new_id - 1]]
             self._slots[new_id - 1] = value
         self.ids[value] = new_id
@@ -197,6 +217,10 @@ class JellyEncoder:
         self.prefixes = _Table(max_prefix_table)
         self.datatypes = _Table(max_datatype_table)
         self._last = [None, None, None]  # repeated-term elision state
+        # ids referenced by the in-flight triple (eviction must skip them)
+        self._used_names: set[int] = set()
+        self._used_prefixes: set[int] = set()
+        self._used_datatypes: set[int] = set()
         self._opts = (
             _field_str(_OPT_STREAM_NAME, stream_name)
             + _field_varint(_OPT_PHYSICAL_TYPE, _PHYSICAL_TRIPLES)
@@ -210,7 +234,8 @@ class JellyEncoder:
 
     def _iri_bytes(self, iri: str, pending: list[bytes]) -> bytes:
         prefix, name = _split_iri(iri)
-        pid, new_p = self.prefixes.lookup(prefix)
+        pid, new_p = self.prefixes.lookup(prefix, self._used_prefixes)
+        self._used_prefixes.add(pid)
         if new_p:
             pending.append(
                 _field_bytes(
@@ -218,7 +243,8 @@ class JellyEncoder:
                     _field_varint(_ENTRY_ID, pid) + _field_str(_ENTRY_VALUE, prefix),
                 )
             )
-        nid, new_n = self.names.lookup(name)
+        nid, new_n = self.names.lookup(name, self._used_names)
+        self._used_names.add(nid)
         if new_n:
             pending.append(
                 _field_bytes(
@@ -234,7 +260,8 @@ class JellyEncoder:
         if lang:
             out += _field_str(_LIT_LANGTAG, lang)
         elif dt:
-            did, new_d = self.datatypes.lookup(dt)
+            did, new_d = self.datatypes.lookup(dt, self._used_datatypes)
+            self._used_datatypes.add(did)
             if new_d:
                 pending.append(
                     _field_bytes(
@@ -266,6 +293,9 @@ class JellyEncoder:
             self._emitted_options = True
         for s, p, o in triples:
             pending: list[bytes] = []
+            self._used_names.clear()
+            self._used_prefixes.clear()
+            self._used_datatypes.clear()
             body = b""
             for idx, (term, base) in enumerate(((s, _T_S_IRI), (p, _T_P_IRI), (o, _T_O_IRI))):
                 if self._last[idx] == term:

@@ -17,6 +17,7 @@ shared filesystem on a cluster — same contract as every file sink here).
 
 from __future__ import annotations
 
+import gzip
 import os
 
 from pyspark.sql import DataFrame
@@ -38,14 +39,20 @@ def write_jelly(
     path: str,
     reify_all_edges: bool = False,
     frame_size: int = 256,
+    compression: str | None = None,
 ) -> None:
-    """Write `{path}/part-NNNNN.jelly` delimited-frame stream files."""
+    """Write `{path}/part-NNNNN.jelly` delimited-frame stream files;
+    ``compression='gz'`` gzips each part file (`.jelly.gz`), matching the
+    reference's gz handling (jelly_parser.py:36-40 reads both)."""
+    if compression not in (None, "gz"):
+        raise ValueError(f"unsupported jelly compression: {compression}")
+    suffix = ".jelly.gz" if compression == "gz" else ".jelly"
     os.makedirs(path, exist_ok=True)
     # overwrite semantics like df.write.mode("overwrite"): stale part files
     # from an earlier, wider write must not survive into the new directory
     import glob as _glob
 
-    for stale in _glob.glob(os.path.join(path, "part-*.jelly")):
+    for stale in _glob.glob(os.path.join(path, "part-*.jelly*")):
         os.remove(stale)
 
     def write_partition(rows) -> None:
@@ -53,7 +60,8 @@ def write_jelly(
 
         from kgx_spark.functions.jelly_codec import encode_delimited
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         it = iter(rows)
         try:
             first = next(it)
@@ -65,10 +73,14 @@ def write_jelly(
             (_term(r.s, False), ("iri", r.p), _term(r.o, r.o_literal))
             for r in itertools.chain([first], it)
         )
-        tmp = os.path.join(path, f".part-{pid:05d}.jelly.tmp")
-        with open(tmp, "wb") as fh:
+        # attempt id in the tmp name: concurrent speculative attempts must
+        # not interleave writes into one tmp file (os.replace keeps the
+        # final name atomic either way)
+        tmp = os.path.join(path, f".part-{pid:05d}-{ctx.taskAttemptId()}{suffix}.tmp")
+        opener = gzip.open if compression == "gz" else open
+        with opener(tmp, "wb") as fh:
             for chunk in encode_delimited(triples, frame_size=frame_size):
                 fh.write(chunk)
-        os.replace(tmp, os.path.join(path, f"part-{pid:05d}.jelly"))
+        os.replace(tmp, os.path.join(path, f"part-{pid:05d}{suffix}"))
 
     graph_term_rows(nodes, edges, reify_all_edges).foreachPartition(write_partition)

@@ -105,6 +105,56 @@ class TestCodec:
         ] * 2
         assert list(decode(frame)) == expected
 
+    def test_property_roundtrip_random_streams(self):
+        """Any stream of well-formed terms survives encode→decode exactly,
+        across unicode text, tiny lookup tables, and tiny frames."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        text = st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40
+        )
+        iri = st.builds(lambda s: ("iri", s), text)
+        bnode = st.builds(lambda s: ("bnode", s), text)
+        literal = st.one_of(
+            st.builds(lambda lex: ("literal", lex, None, None), text),
+            st.builds(lambda lex, lang: ("literal", lex, lang, None), text, text.filter(bool)),
+            st.builds(lambda lex, dt: ("literal", lex, None, dt), text, text.filter(bool)),
+        )
+        term = st.one_of(iri, bnode, literal)
+        triple = st.tuples(st.one_of(iri, bnode), iri, term)
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            st.lists(triple, max_size=30),
+            st.integers(min_value=1, max_value=7),
+            # one triple references at most 3 distinct names/prefixes;
+            # below 4 slots the encoder (correctly) refuses rather than
+            # silently corrupting — covered by test_table_too_small
+            st.integers(min_value=4, max_value=6),
+        )
+        def check(triples, frame_size, table_size):
+            data = b"".join(
+                encode_delimited(
+                    triples,
+                    frame_size=frame_size,
+                    max_name_table=table_size,
+                    max_prefix_table=table_size,
+                    max_datatype_table=table_size,
+                )
+            )
+            assert list(decode(data)) == triples
+
+        check()
+
+    def test_table_too_small(self):
+        # three distinct names in one triple cannot share a 1-slot table:
+        # evicting an id the in-flight triple references would corrupt the
+        # stream, so the encoder must refuse loudly
+        triples = [(("iri", "a"), ("iri", "b"), ("iri", "c"))]
+        with pytest.raises(ValueError, match="too small"):
+            b"".join(encode_delimited(triples, max_name_table=1))
+
     def test_quad_stream_rejected(self):
         frame = jc._field_bytes(
             jc._FRAME_ROWS, jc._field_bytes(jc._ROW_QUAD, b"")
@@ -193,6 +243,13 @@ class TestSparkJelly:
                 fh.write(gzip.compress(blob))
         gz_rows = sorted(map(tuple, parse_jelly(spark, gzdir).collect()), key=str)
         assert gz_rows == plain_rows
+        # sink-side gz: write_jelly(compression="gz") produces .jelly.gz
+        # part files that read back identically
+        gzsink = str(tmp_path / "g_gzsink")
+        write_jelly(nodes, edges, gzsink, compression="gz")
+        assert glob.glob(os.path.join(gzsink, "part-*.jelly.gz"))
+        sink_rows = sorted(map(tuple, parse_jelly(spark, gzsink).collect()), key=str)
+        assert sink_rows == plain_rows
 
     def test_reified_bnodes_follow_nt_bnode_policy(self, spark, graph, tmp_path):
         """reify_all_edges=True writes '_:e<sha>' statement stanzas; the
