@@ -156,6 +156,78 @@ def test_normalize_url(spark):
         assert one(spark, normalize_url(F.lit(raw))) == want, raw
 
 
+def test_normalize_url_differential(spark):
+    """Differential fuzz: the Spark expression vs an independent pure-Python
+    model of the documented rules (urls.py module docstring), over a seeded
+    grammar of crawl-shaped URLs. Both ADVICE-found bugs in this operator
+    (fragment-'?' misread as query, case-sensitive tracking match) were
+    grammar edge cases exactly like these — this pins the whole rule set."""
+    import random
+    import re
+
+    from kgx_spark.functions.urls import normalize_url
+
+    def py_model(u0: str) -> str:
+        u = u0.strip(" ")  # F.trim strips ASCII spaces
+        m = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*)://", u)
+        if not m:
+            return u0  # no scheme → original value passes through
+        scheme = m.group(1).lower()
+        rest = u[m.end():]
+        hostport = re.match(r"^([^/?#]*)", rest).group(1).lower()
+        if scheme == "http":
+            host = re.sub(r":80$", "", hostport)
+        elif scheme == "https":
+            host = re.sub(r":443$", "", hostport)
+        else:
+            host = hostport
+        path = re.match(r"^[^/?#]*([^?#]*)", rest).group(1) or "/"
+        qm = re.match(r"^[^?#]*\?([^#]*)", rest)
+        query = qm.group(1) if qm else ""
+        params = sorted(
+            p
+            for p in query.split("&")
+            if p and not re.match(r"(?i)^(utm_[^=]*|fbclid|gclid)(=.*)?$", p)
+        )
+        qpart = "?" + "&".join(params) if params else ""
+        return f"{scheme}://{host}{path}{qpart}"
+
+    rng = random.Random(20260817)
+    schemes = ["http", "HTTP", "HtTp", "https", "HTTPS", "ftp", "FILE", "a+b-c.d", ""]
+    hosts = ["Example.COM", "a.b", "XN--caf.de", "127.0.0.1", ""]
+    ports = ["", ":80", ":443", ":8080", ":080"]
+    paths = ["", "/", "/Path/One", "/a//b/", "/%7Euser", "/café"]
+    qparams = [
+        "a=1", "z=2", "A=3", "utm_source=x", "UTM_Source=x", "utm_=y",
+        "UTM_CAMPAIGN", "fbclid=f", "FBCLID=f", "gclid", "gclidX=1",
+        "xutm_a=1", "", "=v", "a=b=c", "a=%20", "k=v&broken",
+    ]
+    frags = ["", "#", "#frag", "#/route?y=1&utm_source=z", "#a#b?c"]
+    urls = []
+    for _ in range(400):
+        q = "&".join(rng.sample(qparams, rng.randint(0, 4)))
+        urls.append(
+            rng.choice(schemes)
+            + ("://" if rng.random() < 0.95 else ":")
+            + rng.choice(hosts)
+            + rng.choice(ports)
+            + rng.choice(paths)
+            + (("?" + q) if rng.random() < 0.7 else "")
+            + rng.choice(frags)
+        )
+    urls += ["", " ", "  http://A.b/x  ", "no-scheme/path?a=1#f"]
+
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = {
+        r["url"]: r["canon"]
+        for r in df.select("url", normalize_url(F.col("url")).alias("canon")).collect()
+    }
+    bad = [
+        (u, got[u], py_model(u)) for u in urls if got[u] != py_model(u)
+    ]
+    assert not bad, f"{len(bad)} divergences, first 5: {bad[:5]}"
+
+
 def test_edge_key_and_id(spark):
     # '{s}-{p}-{o}' per kgx/utils/kgx_utils.py:343-364
     key = one(spark, edge_key(F.lit("A:1"), F.lit("biolink:related_to"), F.lit("B:2")))
