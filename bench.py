@@ -51,7 +51,11 @@ def main() -> None:
     # SPARK_GRAFT_LOCAL_DIR=/tmp to measure the single-disk behavior.
     if os.path.isdir("/dev/shm"):
         os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm")
-    spark = get_spark("kgx_bench", master=f"local[{cpus}]", shuffle_partitions=max(8, cpus))
+    # SPARK_GRAFT_SHUFFLE overrides the initial shuffle-partition count
+    # (AQE coalesces down); used for the partitions-vs-agg-state A/B —
+    # see scripts/run_pipeline.py for the measured 4×-cores rationale.
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", max(8, cpus)))
+    spark = get_spark("kgx_bench", master=f"local[{cpus}]", shuffle_partitions=shuffle)
 
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}

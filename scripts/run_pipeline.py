@@ -48,7 +48,31 @@ def main() -> None:
     # round-3 "shuffle-dir" diagnosis; SPARK_GRAFT_LOCAL_DIR=/tmp overrides
     if os.path.isdir("/dev/shm"):
         os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm")
-    spark = get_spark("kgx_pipeline", master=args.master)
+    # initial shuffle partitions at 4× cores, AQE coalesces down: the merge
+    # aggregation carries large per-key array state (provided_by unions), and
+    # one-partition-per-core makes each concurrent task's hash-agg state 4×
+    # bigger — measured 88-90 s → 52-69 s (both run orders) on the edges
+    # stage at local[16]/repeat=32 when the agg runs 64-way instead of
+    # 16-way. Same rule as a real cluster: size shuffles to data volume,
+    # not core count, and let AQE right-size the small ones.
+    cores = None
+    if args.master and "[" in args.master:
+        n = args.master[args.master.find("[") + 1 : args.master.find("]")]
+        cores = None if n == "*" else int(n)
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # smaller scan splits for the stage-snapshot re-reads: a merged KG edge
+    # table is array-heavy and compresses hard, so 128 MB parquet splits
+    # decompress into multi-GB partitions AND cap the scan at a handful of
+    # tasks between stages; 32 MB keeps the post-snapshot map sides as wide
+    # as the cluster (same brief rule: size maxPartitionBytes so partitions
+    # fit executor memory at the target SF).
+    spark = get_spark(
+        "kgx_pipeline",
+        master=args.master,
+        shuffle_partitions=4 * cores,
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024)},
+    )
     pages_df = None
     if args.repeat_input > 1:
         from pyspark.sql import functions as F
