@@ -125,6 +125,60 @@ def test_infores_rewrite_tuple(spark):
         "infores:chembl"
 
 
+def test_infores_differential(spark):
+    """Differential: the Spark expression vs a VERBATIM Python port of the
+    reference kernel (kgx/utils/infores.py:135-168 _process_infores — the
+    Python re module IS the reference semantics, including Unicode \\s and
+    \\w), over a fuzz corpus of Unicode whitespace/letters/numerals and
+    rewrite-tuple variants. The DuckDB oracle replays the same regexes, so
+    only an independent-engine comparison like this can catch Java-vs-
+    Python semantic drift (the round-4 ADVICE Unicode finding's class)."""
+    import random
+    import re
+
+    from kgx_spark.functions.infores import infores_curie
+
+    def py_reference(source, rewrite=None):
+        if source.startswith("infores:"):
+            return source
+        filt = re.compile(rewrite[0]) if rewrite and rewrite[0] else None
+        substr = rewrite[1] if rewrite and len(rewrite) > 1 else ""
+        prefix = rewrite[2] if rewrite and len(rewrite) > 2 else ""
+        infores = filt.sub(substr, source) if filt else source
+        infores = prefix + " " + infores
+        infores = infores.strip()
+        infores = infores.lower()
+        infores = re.sub(r"\s+", "_", infores)
+        infores = re.sub(r"\.+", "_", infores)
+        infores = re.sub(r"[\W]", "", infores)
+        infores = re.sub(r"_", "-", infores)
+        return "infores:" + infores
+
+    pieces = [
+        "Drug", "Central", "some", "DB", "v2.1", "a.b..c", "x_y", "-",
+        "café", "漢字", "Ⅻ", "٣", "№5", "e=mc²", "(beta)", "infores:kept",
+        "\t", " ", " ", " ", "　", " ", "  ", "#", "@x",
+    ]
+    rng = random.Random(5)
+    corpus = ["".join(rng.sample(pieces, rng.randint(1, 5))) for _ in range(250)]
+    corpus += ["", " ", "infores:already-done", "Name\t", "a b"]
+    rewrites = [
+        None,
+        ("[Dd]rug", "med"),
+        ("Central",),
+        ("DB", "database ", "trusted"),
+        ("", "", "pfx"),
+    ]
+    for rw in rewrites:
+        df = spark.createDataFrame([(s,) for s in corpus], ["src"])
+        got = {
+            r["src"]: r["out"]
+            for r in df.select("src", infores_curie(F.col("src"), rewrite=rw).alias("out")).collect()
+        }
+        bad = [(s, got[s], py_reference(s, rw)) for s in corpus if got[s] != py_reference(s, rw)]
+        assert not bad, f"rewrite={rw}: {len(bad)} divergences, first 3: {bad[:3]}"
+
+
 def test_normalize_url(spark):
     from kgx_spark.functions.urls import normalize_url
 
