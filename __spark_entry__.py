@@ -682,9 +682,22 @@ def q_case_format(spark: SparkSession, sf: str) -> DataFrame:
         snake_case,
     )
 
-    names = spark.read.parquet(f"{sf}/part.parquet").select(
+    base = spark.read.parquet(f"{sf}/part.parquet").select(
         F.col("p_name").alias("raw")
     ).distinct()
+    # acronym-bearing variants so the oracle domain exercises the
+    # stringcase/inflection kernel semantics (interior capitals, leading
+    # acronyms), not just lowercase space-separated words
+    names = base.unionByName(
+        base.select(F.concat(F.lit("RNA "), "raw").alias("raw"))
+    ).unionByName(
+        base.select(
+            F.concat(
+                F.upper(F.col("raw").substr(F.lit(1), F.lit(3))),
+                F.col("raw").substr(F.lit(4), F.length("raw")),
+            ).alias("raw")
+        )
+    )
     return names.select(
         "raw",
         camel_case(F.col("raw")).alias("camel"),
@@ -2263,21 +2276,47 @@ def oracle_sql() -> dict[str, str]:
                   FROM lineitem)
         """,
         "case_format_functions": r"""
-            WITH names AS (SELECT DISTINCT p_name AS raw FROM part),
-            t AS (
+            -- faithful mirror of the stringcase/inflection kernels
+            -- (kgx_utils.py:116-220): snakecase = seps→'_' + '_' before each
+            -- non-initial capital; camelize = split '_' / capitalize segment
+            -- heads / join (interior caps preserved); sentencecase = strip
+            -- one leading sep, then in the tail sep+lowercase → ' '+letter
+            -- and every capital gains a space; lower at the end. RE2-safe:
+            -- head/tail via slicing, no lookbehind.
+            WITH base AS (SELECT DISTINCT p_name AS raw FROM part),
+            names AS (
+                SELECT raw FROM base
+                UNION ALL SELECT 'RNA ' || raw FROM base
+                UNION ALL SELECT upper(raw[1:3]) || raw[4:] FROM base
+            ),
+            sn AS (
                 SELECT raw,
-                       array_to_string(list_transform(
-                           string_split(lower(trim(raw)), ' '),
-                           w -> upper(w[1]) || w[2:]), '') AS camel,
-                       lower(regexp_replace(trim(raw), '\s+', '_', 'g')) AS snake
-                FROM names
+                       u[1] || regexp_replace(u[2:], '([A-Z])', '_\1', 'g') AS v
+                FROM (SELECT raw, regexp_replace(raw, '[-.\s]', '_', 'g') AS u
+                      FROM names)
+            ),
+            c AS (
+                SELECT raw,
+                       array_to_string(list_transform(string_split(v, '_'),
+                           x -> upper(x[1]) || x[2:]), '') AS camel,
+                       lower(v) AS snake
+                FROM sn
+            ),
+            s AS (
+                SELECT raw, camel, snake,
+                       regexp_replace(camel, '^[-_.]', '') AS t
+                FROM c
             )
             SELECT raw, camel, snake,
-                   lower(regexp_replace(regexp_replace(camel,
-                       '([a-z0-9])([A-Z])', '\1 \2', 'g'), '_', ' ', 'g')) AS sentence_roundtrip,
-                   'biolink:' || camel AS category_curie,
-                   'biolink:' || snake AS slot_curie
-            FROM t
+                   lower(regexp_replace(
+                       t[1] || regexp_replace(regexp_replace(t[2:],
+                           '([-_.\s])([a-z])', ' \2', 'g'), '([A-Z])', ' \1', 'g'),
+                       '^\s+|\s+$', '', 'g')) AS sentence_roundtrip,
+                   CASE WHEN regexp_matches(raw, '^biolink:.') THEN raw
+                        ELSE 'biolink:' || camel END AS category_curie,
+                   CASE WHEN regexp_matches(raw, '^biolink:.') THEN raw
+                        ELSE 'biolink:' || snake END AS slot_curie
+            FROM s
         """,
         "duplicate_nodes": """
             SELECT 'P:' || p_partkey AS id, 2::BIGINT AS count

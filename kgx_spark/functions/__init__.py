@@ -16,6 +16,7 @@ from kgx_spark.functions.curie import (  # noqa: F401
 from kgx_spark.functions.infores import infores_curie  # noqa: F401
 from kgx_spark.functions.keys import deterministic_edge_id, edge_key  # noqa: F401
 from kgx_spark.functions.text import (  # noqa: F401
+    camel_case,
     format_biolink_category,
     format_biolink_slot,
     sentence_case,

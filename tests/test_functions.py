@@ -4,6 +4,7 @@ import pyspark.sql.functions as F
 import pytest
 
 from kgx_spark.functions import (
+    camel_case,
     contract,
     curie_prefix,
     curie_reference,
@@ -78,13 +79,154 @@ def test_prefix_reference(spark):
 
 
 def test_case_conversions(spark):
-    # kgx/utils/kgx_utils.py:116-187 semantics
+    # kgx/utils/kgx_utils.py:116-187 semantics (the reference's own pinned
+    # tests: tests/unit/test_kgx_utils.py:95-124)
     assert one(spark, sentence_case(F.lit("NamedThing"))) == "named thing"
     assert one(spark, sentence_case(F.lit("related_to"))) == "related to"
     assert one(spark, snake_case(F.lit("related to"))) == "related_to"
     assert one(spark, format_biolink_category(F.lit("named thing"))) == "biolink:NamedThing"
     assert one(spark, format_biolink_category(F.lit("biolink:Gene"))) == "biolink:Gene"
     assert one(spark, format_biolink_slot(F.lit("related to"))) == "biolink:related_to"
+    # acronym behavior — the stringcase/inflection kernels space EVERY
+    # non-initial capital and preserve interior caps through camelize
+    # (pre-round-6 divergence, COVERAGE.md §2.4, now fixed):
+    assert one(spark, sentence_case(F.lit("RNAProduct"))) == "r n a product"
+    assert one(spark, camel_case(F.lit("FooBar"))) == "FooBar"
+    assert one(spark, camel_case(F.lit("foo BAR"))) == "FooBAR"
+    assert one(spark, snake_case(F.lit("RNAProduct"))) == "r_n_a_product"
+    # separators before non-lowercase survive sentencecase untouched
+    assert one(spark, sentence_case(F.lit("foo_2bar"))) == "foo_2bar"
+    # non-biolink CURIEs are (re)formatted, not passed through
+    # (reference re.match("biolink:.+", s) — kgx_utils.py:207)
+    assert one(spark, format_biolink_category(F.lit("GO:123"))) == "biolink:GO:123"
+
+
+# --- verbatim ports of the reference's case kernels -------------------------
+# stringcase 1.2.0 (camelcase/sentencecase/snakecase) and inflection.camelize
+# — the exact functions kgx_utils.py:116-187 delegates to. Neither library
+# installs in this sandbox; these are line-faithful reconstructions of the
+# published sources, validated against the reference's own pinned tests in
+# test_case_conversions above.
+
+def _sc_camelcase(s: str) -> str:
+    import re
+
+    s = re.sub(r"^[\-_\.]", "", str(s))
+    if not s:
+        return s
+    return s[0].lower() + re.sub(
+        r"[\-_\.\s]([a-z])", lambda m: m.group(1).upper(), s[1:]
+    )
+
+
+def _sc_sentencecase(s: str) -> str:
+    import re
+
+    joined = _sc_camelcase(s)
+    spaced = re.sub(r"[A-Z]", lambda m: " " + m.group(0).lower(), str(joined))
+    stripped = spaced.strip()
+    return (stripped[0].upper() + stripped[1:]) if stripped else stripped
+
+
+def _sc_snakecase(s: str) -> str:
+    import re
+
+    s = re.sub(r"[\-\.\s]", "_", str(s))
+    if not s:
+        return s
+    return s[0].lower() + re.sub(
+        r"[A-Z]", lambda m: "_" + m.group(0).lower(), s[1:]
+    )
+
+
+def _inf_camelize(s: str) -> str:
+    import re
+
+    return re.sub(r"(?:^|_)(.)", lambda m: m.group(1).upper(), s)
+
+
+def ref_camelcase_to_sentencecase(s: str) -> str:
+    return _sc_sentencecase(s).lower()
+
+
+def ref_sentencecase_to_snakecase(s: str) -> str:
+    return _sc_snakecase(s).lower()
+
+
+def ref_sentencecase_to_camelcase(s: str) -> str:
+    return _inf_camelize(_sc_snakecase(s))
+
+
+def test_case_kernel_ports_match_reference_pins():
+    """The ported kernels reproduce the reference's own pinned expectations
+    (tests/unit/test_kgx_utils.py:95-124) before we trust them as oracles."""
+    assert ref_camelcase_to_sentencecase("NamedThing") == "named thing"
+    assert ref_camelcase_to_sentencecase("named_thing") == "named thing"
+    assert ref_sentencecase_to_snakecase("named thing") == "named_thing"
+    assert ref_sentencecase_to_camelcase("named thing") == "NamedThing"
+    # the acronym behavior that motivated the differential
+    assert ref_camelcase_to_sentencecase("RNAProduct") == "r n a product"
+    assert ref_sentencecase_to_camelcase("FooBar") == "FooBar"
+
+
+def test_case_differential(spark):
+    """Differential: the Spark case expressions vs the VERBATIM kernel ports
+    above, over a fuzz corpus of acronym/digit/separator compositions. The
+    DuckDB oracle replays the repo's own expressions and is blind to kernel
+    drift — this is the independent adjudicator (same class as
+    test_infores_differential / test_normalize_url_differential, which each
+    caught a real bug).
+
+    Scope: ASCII whitespace only (Python's \\s/strip are Unicode-aware,
+    Java's \\s is ASCII; Biolink category/slot names — the reference's only
+    inputs — are ASCII). camel_case is exact EXCEPT when the snakecased
+    intermediate contains a separator run or leading/trailing '_', where
+    inflection.camelize's pair-consumption is pathological — documented
+    residual, pinned explicitly below and excluded from the fuzz domain.
+    """
+    import random
+    import re
+
+    from kgx_spark.functions.text import camel_case, sentence_case, snake_case
+
+    pieces = [
+        "named", "thing", "RNA", "DNAProduct", "Gene2Phenotype", "v2.1",
+        "FooBar", "BAR", "x", "Q", "42", "7up", "a-b", "mixed_Case",
+        "", " ", "_", "-", ".", "biolink:", "GO:123", "é'quoted",
+    ]
+    rng = random.Random(6)
+    corpus = ["".join(rng.sample(pieces, rng.randint(1, 5))) for _ in range(300)]
+    corpus += [
+        "", "x", "X", "_foo", "__foo", "-_foo", " foo", " Foo", "a  b",
+        "a _b", "a-B", "RNAProduct", "foo_2bar", "FOO_BAR", "named thing",
+    ]
+
+    df = spark.createDataFrame([(s,) for s in corpus], ["src"]).select(
+        "src",
+        sentence_case(F.col("src")).alias("sent"),
+        snake_case(F.col("src")).alias("snake"),
+        camel_case(F.col("src")).alias("camel"),
+    )
+    got = {r["src"]: r for r in df.collect()}
+
+    bad = []
+    for s in corpus:
+        if got[s]["sent"] != ref_camelcase_to_sentencecase(s):
+            bad.append(("sentence", s, got[s]["sent"], ref_camelcase_to_sentencecase(s)))
+        if got[s]["snake"] != ref_sentencecase_to_snakecase(s):
+            bad.append(("snake", s, got[s]["snake"], ref_sentencecase_to_snakecase(s)))
+        inter = _sc_snakecase(s)
+        if not re.search(r"^_|_$|__", inter):  # outside the documented residual
+            if got[s]["camel"] != ref_sentencecase_to_camelcase(s):
+                bad.append(("camel", s, got[s]["camel"], ref_sentencecase_to_camelcase(s)))
+    assert not bad, f"{len(bad)} divergences, first 5: {bad[:5]}"
+
+    # the documented camel residual, pinned on both sides so a future change
+    # to either surfaces here
+    assert ref_sentencecase_to_camelcase("named  thing") == "Named_thing"
+    assert one(spark, camel_case(F.lit("named  thing"))) == "NamedThing"
+    assert ref_sentencecase_to_camelcase(" foo") == "_foo"
+    assert one(spark, camel_case(F.lit(" foo"))) == "Foo"
 
 
 def test_infores(spark):
