@@ -1615,15 +1615,33 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records (at most) the
-    # FIRST 50 entries, so every SURVEY §2 reference surface comes first —
-    # one oracle per §2 operator family plus the two north-rule flagship
-    # queries (pipeline_triples, entity_link). The LLM-pipeline extras
-    # below the cut all have driver-green history (CORRECTNESS_r02–r04)
-    # and stay oracle-gated via tools/oracle_check.py. Round-5 rotation:
-    # 19 dedup/ANN/events/textstats variants moved below the cut to make
-    # room for the 19 §2 surfaces (format round-trips, remap/case/sanitize,
-    # infores catalog, provenance, duckdb pushdown, transform_ops) that
-    # had never appeared in the driver's window.
+    # FIRST 50 entries; the registry holds 82, all oracle-gated via
+    # tools/oracle_check.py regardless of position.
+    #
+    # WINDOW-ROTATION POLICY (adopted round 6, per round-5 VERDICT #3):
+    #   1. The two north-rule flagships (pipeline_triples, entity_link) are
+    #      PINNED in-window every round.
+    #   2. Any query whose query/oracle semantics changed this round must be
+    #      in-window (fresh driver row for the changed surface).
+    #   3. Each round, 5-9 in-window rows with >=2 consecutive driver-green
+    #      rounds rotate below the cut, replaced by (a) entries that have
+    #      NEVER had a driver row, then (b) the stalest below-cut entries
+    #      (oldest last-green round). Rotated-out §2 rows keep an in-window
+    #      family neighbor where possible.
+    #   Net effect: every query re-acquires a driver-green row every ~4
+    #   rounds; no surface's hard-signal history goes stale indefinitely.
+    #
+    # Round-6 rotation (9 swaps): IN — entity_link (flagship, sat at 51 in
+    # r05) + the 8 highest-value never-rowed entries (remove_shared_spans,
+    # pack_sequences, pack_sequences_tokenized, materialize_packs,
+    # media_features, url_normalize, ann_topk_ivf, embedding_near_dup_lsh;
+    # all re-verified at sf0.01 before the swap). OUT — get_parents (one-hop
+    # BFS subsumed by graph_ancestors' 25-hop oracle) and 8 rows green
+    # r01/r02-through-r05 with in-window family neighbors (count_by_category,
+    # count_by_id_prefix, count_by_predicate, facet_counts,
+    # meta_kg_source_counts, fold_predicate, unfold_node_property,
+    # remove_singletons). Still never-rowed, queued for r07: ngram_overlap,
+    # line_dedup, repetition_signals, stratified_sample.
     return {
         # §2.6 merge + §2.3 validate/filter
         "merge_nodes": q_merge_nodes,
@@ -1632,14 +1650,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_nodes_category": q_filter_nodes,
         "filter_edges_semijoin": q_filter_edges,
         # §2.6 summary/meta-kg/validator
-        "count_by_category": q_count_by_category,
-        "count_by_id_prefix": q_count_by_id_prefix,
-        "count_by_predicate": q_count_by_predicate,
         "spo_category_counts": q_spo_category,
-        "facet_counts": q_facet_counts,
         "meta_kg_nodes": q_meta_nodes,
         "meta_kg_edges": q_meta_edges,
-        "meta_kg_source_counts": q_meta_source_counts,
         "meta_kg_edge_source_counts": q_meta_edge_source_counts,
         "validator_report": q_validator_report,
         "validator_type_battery": q_validator_battery,
@@ -1648,16 +1661,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dangling_edges": q_dangling_edges,
         # §2.7 whole-graph ops + traversal
         "node_degree": q_degree,
-        "fold_predicate": q_fold_predicate,
-        "unfold_node_property": q_unfold_property,
-        "remove_singletons": q_remove_singletons,
         "remap_node_identifier": q_remap_identifier,
         "remap_node_property": q_remap_node_property,
         "remap_edge_property": q_remap_edge_property,
         "clique_canonicalize": q_clique_canonicalize,
         "biolink_category_election": q_category_election,
         "graph_ancestors": q_graph_ancestors,
-        "get_parents": q_get_parents,
         # §2.4 scalar functions
         "infores_rewrite": q_infores,
         "infores_catalog": q_infores_catalog,
@@ -1680,10 +1689,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duckdb_pushdown": q_duckdb_pushdown,
         # §2.8 orchestration
         "transform_ops": q_transform_ops,
-        # north-rule flagship (KG construction over web pages)
+        # north-rule flagships (KG construction over web pages) — PINNED
         "pipeline_triples": q_pipeline_triples,
         "entity_link": q_entity_link,
+        # round-6 rotation: first-ever driver rows for these LLM-pipeline ops
+        "remove_shared_spans": q_remove_shared_spans,
+        "pack_sequences": q_pack_sequences,
+        "pack_sequences_tokenized": q_pack_sequences_tokenized,
+        "materialize_packs": q_materialize_packs,
+        "media_features": q_media_features,
+        "url_normalize": q_url_normalize,
+        "ann_topk_ivf": q_ann_ivf,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         # ---- driver-window cut (entries below are judge/oracle-gated) ----
+        "count_by_category": q_count_by_category,
+        "count_by_id_prefix": q_count_by_id_prefix,
+        "count_by_predicate": q_count_by_predicate,
+        "facet_counts": q_facet_counts,
+        "meta_kg_source_counts": q_meta_source_counts,
+        "fold_predicate": q_fold_predicate,
+        "unfold_node_property": q_unfold_property,
+        "remove_singletons": q_remove_singletons,
+        "get_parents": q_get_parents,
         "extract_text": q_extract_text,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash,
