@@ -156,8 +156,8 @@ def main() -> None:
     def _link():
         from kgx_spark.pipeline.extract import extract_text
         from kgx_spark.pipeline.link import (
-            alias_first_tokens,
             detect_mentions,
+            first_token_prune,
             link_mentions,
         )
         from kgx_spark.pipeline.synth import synth_alias_dict, synth_pages
@@ -168,7 +168,7 @@ def main() -> None:
         linked = link_mentions(
             detect_mentions(
                 extract_text(raw_pages),
-                first_tokens=alias_first_tokens(alias_dict),
+                **first_token_prune(alias_dict),
             ),
             alias_dict,
             n_pages=n_pages,

@@ -20,8 +20,8 @@ from kgx_spark.operators.merge import merge_edges, merge_nodes
 from kgx_spark.operators.validate import validate_edges, validate_nodes
 from kgx_spark.pipeline.extract import extract_text
 from kgx_spark.pipeline.link import (
-    alias_first_tokens,
     detect_mentions,
+    first_token_prune,
     link_mentions,
     linked_mention_edges,
 )
@@ -69,9 +69,11 @@ def build_stages(
         # starts no alias can't survive the dictionary join) and cuts the
         # exploded mention volume by the corpus's non-entity token fraction
         # (measured 27.2→15.2 s min at sf0.1/local[32], identical rows).
-        mentions = detect_mentions(
-            ctx["extract"], first_tokens=alias_first_tokens(alias_dict)
-        )
+        # first_token_prune() auto-selects the in-array InSet probe for
+        # plan-embeddable token sets and a broadcast semi-join past
+        # MAX_INSET_FIRST_TOKENS, so a huge alias dictionary can't bloat
+        # the plan or the driver.
+        mentions = detect_mentions(ctx["extract"], **first_token_prune(alias_dict))
         return link_mentions(mentions, alias_dict, n_pages=n_pages)
 
     def s_edges_raw(spark: SparkSession, ctx: dict) -> DataFrame:

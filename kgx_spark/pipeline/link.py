@@ -22,20 +22,52 @@ from pyspark.sql import Window
 from kgx_spark.operators.textstats import tokens
 
 
-def alias_first_tokens(alias_dict: DataFrame, alias_col: str = "alias") -> list[str]:
-    """Distinct first tokens of the alias surface forms, collected
-    driver-side (bounded by the dictionary, which is broadcast-sized by
-    contract). Feed to detect_mentions(first_tokens=...) to prune n-gram
-    starts that can never match any alias."""
-    return [
-        r["t"]
-        for r in alias_dict.select(
-            F.element_at(F.split(F.trim(F.lower(F.col(alias_col))), r"\s+"), 1).alias("t")
+# Above this many distinct first tokens, an InSet literal stops being a
+# reasonable plan node (~10^5 strings serialized into every task binary and
+# held on the driver) — switch to a broadcast semi-join (round-5 VERDICT #4).
+MAX_INSET_FIRST_TOKENS = 50_000
+
+
+def alias_first_token_df(alias_dict: DataFrame, alias_col: str = "alias") -> DataFrame:
+    """Distinct first tokens of the alias surface forms as a single-column
+    DataFrame (``first_token``) — never collected, so it stays valid for
+    dictionaries far past broadcast-list size."""
+    return (
+        alias_dict.select(
+            F.element_at(
+                F.split(F.trim(F.lower(F.col(alias_col))), r"\s+"), 1
+            ).alias("first_token")
         )
-        .where(F.col("t").isNotNull() & (F.col("t") != ""))
+        .where(F.col("first_token").isNotNull() & (F.col("first_token") != ""))
         .distinct()
-        .collect()
-    ]
+    )
+
+
+def alias_first_tokens(alias_dict: DataFrame, alias_col: str = "alias") -> list[str]:
+    """Distinct first tokens collected driver-side (bounded by the
+    dictionary, which is broadcast-sized by contract). Feed to
+    detect_mentions(first_tokens=...) to prune n-gram starts that can never
+    match any alias. For dictionaries whose first-token set may exceed
+    MAX_INSET_FIRST_TOKENS, use first_token_prune() instead — it picks the
+    plan-safe form automatically."""
+    return [r["first_token"] for r in alias_first_token_df(alias_dict, alias_col).collect()]
+
+
+def first_token_prune(
+    alias_dict: DataFrame,
+    alias_col: str = "alias",
+    max_inset: int = MAX_INSET_FIRST_TOKENS,
+) -> dict:
+    """Pick the plan-safe first-token prune form for this dictionary:
+    kwargs for detect_mentions — ``{"first_tokens": [...]}`` (in-array InSet
+    probe, cheapest) when the distinct first-token set is plan-embeddable,
+    else ``{"first_token_df": df}`` (post-explode broadcast semi-join, plan
+    and driver memory stay bounded by a size check that never materializes
+    the full set: limit(max_inset+1).count() early-exits)."""
+    df = alias_first_token_df(alias_dict, alias_col)
+    if df.limit(max_inset + 1).count() > max_inset:
+        return {"first_token_df": df}
+    return {"first_tokens": [r["first_token"] for r in df.collect()]}
 
 
 def detect_mentions(
@@ -43,6 +75,7 @@ def detect_mentions(
     max_ngram: int = 3,
     text_col: str = "extracted_text",
     first_tokens: list[str] | None = None,
+    first_token_df: DataFrame | None = None,
 ) -> DataFrame:
     """(url, mention, pos) candidate surface forms: all 1..max_ngram word
     n-grams, lowercased; ``pos`` is the starting token index.
@@ -61,7 +94,18 @@ def detect_mentions(
     row volume by the corpus's non-entity token fraction (typically most
     of it). The membership test compiles to a Catalyst InSet hash probe,
     and positions are carried in a (pos, mention) struct so mid-array
-    pruning cannot shift them."""
+    pruning cannot shift them.
+
+    ``first_token_df`` (from alias_first_token_df / first_token_prune) is
+    the same prune as a post-explode broadcast LEFT SEMI join on the
+    mention's first token — for dictionaries whose first-token set is too
+    large to embed as an InSet literal (> MAX_INSET_FIRST_TOKENS). It keeps
+    plan size and driver memory bounded at the cost of exploding the full
+    n-gram volume first; past broadcastable sizes skip pruning entirely —
+    a first-token set that large filters little anyway. Result-identical
+    to the list form (tests/test_pipeline.py pins all three paths equal)."""
+    if first_tokens is not None and first_token_df is not None:
+        raise ValueError("pass first_tokens OR first_token_df, not both")
     toks_col = tokens(F.lower(F.col(text_col)))
     base = pages.select("url", toks_col.alias("_toks"))
     t = F.col("_toks")
@@ -118,6 +162,15 @@ def detect_mentions(
     out = grams[0]
     for e in grams[1:]:
         out = out.unionByName(e)
+    if first_token_df is not None:
+        # mentions are concat_ws(" ")-joined, so the first token is
+        # everything before the first single space
+        out = out.join(
+            F.broadcast(first_token_df),
+            on=F.element_at(F.split(F.col("mention"), " "), 1)
+            == first_token_df["first_token"],
+            how="left_semi",
+        )
     return out
 
 

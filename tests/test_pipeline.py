@@ -125,6 +125,39 @@ def test_entity_linking_first_token_prune(spark, pages):
     # this plan would test the fixture, not the stage)
 
 
+def test_first_token_prune_threshold_guard(spark, pages):
+    """Past MAX_INSET_FIRST_TOKENS the prune must switch from an in-plan
+    InSet literal to a broadcast semi-join (round-5 VERDICT #4), with
+    identical results on all three paths (list / semi-join / unpruned)."""
+    from kgx_spark.pipeline.link import (
+        alias_first_token_df,
+        alias_first_tokens,
+        first_token_prune,
+    )
+
+    alias_dict = synth_alias_dict(spark, SF)
+    # dispatcher: small set → list form; tiny max_inset → DataFrame form
+    kw_small = first_token_prune(alias_dict)
+    assert "first_tokens" in kw_small and isinstance(kw_small["first_tokens"], list)
+    kw_big = first_token_prune(alias_dict, max_inset=1)
+    assert list(kw_big) == ["first_token_df"]
+
+    extracted = extract_text(pages)
+    n_pages = extracted.count()
+    via_list = detect_mentions(extracted, first_tokens=alias_first_tokens(alias_dict))
+    via_join = detect_mentions(extracted, first_token_df=alias_first_token_df(alias_dict))
+    assert via_list.exceptAll(via_join).count() == 0
+    assert via_join.exceptAll(via_list).count() == 0
+
+    linked_join = link_mentions(via_join, alias_dict, n_pages=n_pages)
+    linked_full = link_mentions(detect_mentions(extracted), alias_dict, n_pages=n_pages)
+    assert linked_join.exceptAll(linked_full).count() == 0
+    assert linked_full.exceptAll(linked_join).count() == 0
+
+    with pytest.raises(ValueError):
+        detect_mentions(extracted, first_tokens=["a"], first_token_df=alias_first_token_df(alias_dict))
+
+
 def test_entity_linking_dense_dictionary_guard(spark, pages):
     """Dense-dictionary mode (hits ≈ mentions) must produce identical links
     while materializing only the idf AGGREGATE, never mention-scale hits
