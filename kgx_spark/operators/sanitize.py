@@ -135,16 +135,31 @@ def sanitize_import(
     return df.select(*out)
 
 
+def _export_scrub(col: Column) -> Column:
+    """The reference's export-side string scrub (kgx_utils.py:963-1005
+    _sanitize_export_property): '\\n'/'\\t' → space and literal
+    backslash-quote sequences removed."""
+    return F.regexp_replace(F.regexp_replace(col, r"[\n\t]", " "), r'\\"', "")
+
+
 def sanitize_export(df: DataFrame, delimiter: str = LIST_DELIMITER) -> DataFrame:
-    """Inverse: arrays → '|'-joined strings, everything stringified
-    (kgx_utils.py:912-1005). Used by the TSV sink."""
+    """Inverse: arrays → '|'-joined strings, everything stringified, strings
+    scrubbed (kgx_utils.py:912-1005). Used by the TSV sink.
+
+    Documented divergence (tests/test_sanitize_differential.py): the
+    reference's build_export_row drops FALSY values (`if new_value:` —
+    kgx_utils.py:930), so `negated=False` and empty strings vanish from its
+    output; here False exports as "False" — silently deleting a negation
+    flag is data loss we choose not to reproduce."""
     out = []
     for field in df.schema.fields:
         c = F.col(field.name)
         if isinstance(field.dataType, T.ArrayType):
-            expr = F.array_join(c, delimiter)
+            expr = F.array_join(F.transform(c, _export_scrub), delimiter)
         elif isinstance(field.dataType, T.BooleanType):
             expr = F.when(c, "True").when(~c, "False")  # python str(bool)
+        elif isinstance(field.dataType, T.StringType):
+            expr = _export_scrub(c)
         else:
             expr = c.cast("string")
         out.append(expr.alias(field.name))
