@@ -389,6 +389,10 @@ class JellyDecoder:
         for field, _, v in _iter_fields(buf):
             if field in (_T_S_TTERM, _T_P_TTERM, _T_O_TTERM):
                 raise ValueError("jelly: RDF-star triple terms unsupported")
+            if not 1 <= field <= _T_O_TTERM:
+                # protobuf convention: unknown fields (a newer spec rev) are
+                # skipped, not errors — keeps foreign encoders' streams readable
+                continue
             slot, kind = divmod(field - 1, 4)
             if kind == 0:
                 terms[slot] = self._iri(v)

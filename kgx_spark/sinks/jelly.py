@@ -52,7 +52,9 @@ def write_jelly(
     # from an earlier, wider write must not survive into the new directory
     import glob as _glob
 
-    for stale in _glob.glob(os.path.join(path, "part-*.jelly*")):
+    for stale in _glob.glob(os.path.join(path, "part-*.jelly*")) + _glob.glob(
+        os.path.join(path, ".part-*.tmp")  # orphans of killed task attempts
+    ):
         os.remove(stale)
 
     def write_partition(rows) -> None:

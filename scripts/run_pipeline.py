@@ -58,7 +58,11 @@ def main() -> None:
     cores = None
     if args.master and "[" in args.master:
         n = args.master[args.master.find("[") + 1 : args.master.find("]")]
-        cores = None if n == "*" else int(n)
+        try:
+            # local[N] only; local-cluster[2,8,4096] / spark://… fall through
+            cores = None if n == "*" else int(n)
+        except ValueError:
+            cores = None
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # smaller scan splits for the stage-snapshot re-reads: a merged KG edge

@@ -170,6 +170,31 @@ class TestCodec:
         with pytest.raises(ValueError, match="RDF-star"):
             list(JellyDecoder().decode_frame(frame))
 
+    def test_unknown_triple_fields_skipped(self):
+        """Forward compat: RdfTriple field numbers outside 1-12 (a newer spec
+        rev) are ignored per protobuf convention, not an IndexError — both
+        varint- and bytes-wired unknowns."""
+        rows = [
+            jc._field_bytes(jc._ROW_PREFIX, jc._field_str(jc._ENTRY_VALUE, "http://z.org/")),
+            jc._field_bytes(jc._ROW_NAME, jc._field_str(jc._ENTRY_VALUE, "s")),
+            jc._field_bytes(jc._ROW_NAME, jc._field_str(jc._ENTRY_VALUE, "p")),
+            jc._field_bytes(jc._ROW_NAME, jc._field_str(jc._ENTRY_VALUE, "o")),
+        ]
+        explicit = jc._field_varint(jc._IRI_PREFIX_ID, 1) + jc._field_varint(jc._IRI_NAME_ID, 1)
+        zero = b""
+        body = (
+            jc._field_varint(15, 7)  # unknown varint field
+            + jc._field_bytes(jc._T_S_IRI, explicit)
+            + jc._field_bytes(jc._T_P_IRI, zero)
+            + jc._field_bytes(13, b"\x01\x02")  # unknown length-delimited field
+            + jc._field_bytes(jc._T_O_IRI, zero)
+        )
+        rows.append(jc._field_bytes(jc._ROW_TRIPLE, body))
+        frame = b"".join(jc._field_bytes(jc._FRAME_ROWS, r) for r in rows)
+        assert list(decode(frame)) == [
+            (("iri", "http://z.org/s"), ("iri", "http://z.org/p"), ("iri", "http://z.org/o"))
+        ]
+
     def test_undefined_name_id_rejected(self):
         iri = jc._field_varint(jc._IRI_NAME_ID, 7)
         tbody = jc._field_bytes(jc._T_S_IRI, iri)
