@@ -52,6 +52,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # only consulted by multi-JVM masters (local-cluster / standalone);
+        # plain local mode runs tasks inside the driver heap above
+        .config("spark.executor.memory", os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
@@ -61,6 +64,20 @@ def get_spark(
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
+    # JIT code cache headroom (standard practice for codegen-heavy Spark:
+    # every whole-stage-codegen query compiles fresh classes, and a
+    # long-lived executor serving many queries can exhaust the 240 MB JVM
+    # default, silently flipping hot loops to interpreted execution). Our
+    # local probes peak at ~38 MB per short job (scripts/
+    # probe_triples_stage.py reports per-heap peaks), so this is headroom
+    # for production-length sessions, NOT a measured local win — the
+    # "stage slow after a prior stage in the same JVM" anomaly investigated
+    # in round 6 turned out to track hypervisor steal, not cache pressure
+    # (BASELINE.md round-6 scaling notes).
+    code_cache = os.environ.get("SPARK_GRAFT_CODE_CACHE", "512m")
+    java_opts = f"-XX:ReservedCodeCacheSize={code_cache}"
+    builder = builder.config("spark.driver.extraJavaOptions", java_opts)
+    builder = builder.config("spark.executor.extraJavaOptions", java_opts)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
