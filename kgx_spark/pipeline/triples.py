@@ -46,18 +46,24 @@ def _pattern_regex() -> str:
 
 
 def extract_triples(
-    pages: DataFrame, text_col: str = "extracted_text", url_col: str = "url"
+    pages: DataFrame,
+    text_col: str = "extracted_text",
+    url_col: str = "url",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """pages → raw triples(subject, predicate, object, provided_by[url]).
 
     Three regexp_extract_all group pulls per page (JVM, same compiled regex)
     zipped positionally, one explode, one predicate-map lookup. No shuffle
-    until the downstream merge.
+    until the downstream merge. ``carry_cols`` passes page columns through
+    to the triple rows (the streaming path carries ``warc_ts`` as the event
+    time for watermark dedup); the default keeps the batch plan unchanged.
     """
     rx = _pattern_regex()
     pred_map = F.create_map(*[F.lit(x) for kv in sorted(RELATION_PATTERNS.items()) for x in kv])
     matches = pages.select(
         F.col(url_col).alias("url"),
+        *[F.col(c) for c in carry_cols],
         F.explode(
             F.arrays_zip(
                 F.regexp_extract_all(F.col(text_col), F.lit(rx), F.lit(1)).alias("s"),
@@ -71,6 +77,7 @@ def extract_triples(
         F.element_at(pred_map, F.col("m.p")).alias("predicate"),
         F.col("m.o").alias("object"),
         F.array(F.col("url")).alias("provided_by"),
+        *[F.col(c) for c in carry_cols],
     )
 
 
