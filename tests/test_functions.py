@@ -430,3 +430,15 @@ def test_edge_key_and_id(spark):
     assert key == "A:1-biolink:related_to-B:2"
     eid = one(spark, deterministic_edge_id(F.lit("A:1"), F.lit("biolink:related_to"), F.lit("B:2")))
     assert len(eid) == 64  # sha2-256 hex
+    # differential vs the reference kernel "{}-{}-{}".format(s,p,o) —
+    # equal on every non-null input; the ONE divergence is pinned here:
+    # Python format renders a null as the string 'None' while concat_ws
+    # SKIPS nulls entirely ('p-o', no placeholder). Nulls never reach this
+    # kernel in either system (validate rejects null s/p/o first), and
+    # 'None-p-o' keys would be the worse behavior to reproduce.
+    cases = [("A:1", "biolink:related_to", "B:2"), ("", "p", "o"),
+             ("s-with-dash", "p", "o--"), ("ü:1", "p", "ö:2")]
+    for s, p, o in cases:
+        assert one(spark, edge_key(F.lit(s), F.lit(p), F.lit(o))) == "{}-{}-{}".format(s, p, o)
+    null_key = one(spark, edge_key(F.lit(None), F.lit("p"), F.lit("o")))
+    assert null_key == "p-o" and "{}-{}-{}".format(None, "p", "o") == "None-p-o"
