@@ -6,7 +6,7 @@ with TF-IDF candidate scoring".
 Reference analogue: curie_lookup (kgx/utils/graph_utils.py:129-157) resolves
 names → CURIEs via a preloaded in-memory map; here the dictionary is a
 DataFrame broadcast into a hash join, and ambiguous aliases are resolved by a
-TF-IDF-weighted prior with a deterministic argmax window.
+TF-IDF-weighted prior with a deterministic argmax aggregation.
 
 Scale: mentions explode pages into n-grams — the expensive part — but each
 n-gram row is tiny and the alias join is broadcast (dictionary ≪ corpus).
@@ -17,7 +17,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window
 
 from kgx_spark.operators.textstats import tokens
 
@@ -233,14 +232,30 @@ def link_mentions(
         )
     else:
         hits = hits.withColumn("score", F.col("prior"))
-    w = Window.partitionBy("url", "pos").orderBy(F.col("score").desc(), F.col("curie").asc())
-    return (
-        hits.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(
-            "url", "mention", "curie", "category",
-            F.round(F.col("score") * 1e6, 0).cast("bigint").alias("score_1e6"),
-        )
+    # argmax per mention site as a HASH AGGREGATION, not a window:
+    # row_number().over(partitionBy(url,pos).orderBy(score desc, curie))
+    # plans as Exchange + Sort over (url,pos,score,curie). min_by with key
+    # (-score, curie) picks the identical row (score desc, curie asc
+    # tie-break), plans as partial+final HashAggregate on the same
+    # (url,pos) shuffle keys, sorts nothing, and combines map-side — so
+    # candidate rows collapse BEFORE the exchange instead of all shuffling
+    # to be sorted. At sf0.1 the two forms measure equal (window 18.9-20.1s
+    # vs min_by 19.9-22.2s min-walls across interleaved steal-bracketed
+    # pairs, identical 19,540 rows — the sort isn't binding at this scale;
+    # BASELINE.md round-6); the agg form is kept for the shuffle-bytes
+    # reduction when many aliases compete per site at corpus scale.
+    best = hits.groupBy("url", "pos").agg(
+        F.min_by(
+            F.struct("mention", "curie", "category", "score"),
+            F.struct((-F.col("score")).alias("ns"), F.col("curie").alias("c")),
+        ).alias("_b")
+    )
+    return best.select(
+        "url",
+        F.col("_b.mention").alias("mention"),
+        F.col("_b.curie").alias("curie"),
+        F.col("_b.category").alias("category"),
+        F.round(F.col("_b.score") * 1e6, 0).cast("bigint").alias("score_1e6"),
     )
 
 
