@@ -167,6 +167,10 @@ def q_meta_edges(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_validator_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Node battery, reference semantics (validator.py:560-684): non-CURIE ids
+    error; bare lowercase 'gene' draws ONLY the CamelCase shape error (its
+    sentence-case form resolves to the Gene class); 'biolink:Zebra' is
+    CamelCase-shaped but unknown in the model (an ERROR, not a warning)."""
     part = spark.read.parquet(f"{sf}/part.parquet")
     dirty = part.select(
         F.when(F.col("p_partkey") % 10 == 0, F.concat(F.lit("bad id "), "p_partkey"))
@@ -330,21 +334,23 @@ def q_validator_battery(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_validator_edges(spark: SparkSession, sf: str) -> DataFrame:
-    """Edge predicate battery (validator.py:686-744): snake_case shape errors
-    + known-predicate warnings against the full predicate snapshot."""
+    """Edge battery, reference semantics (validator.py:246-273,686-744):
+    required props are {id, subject, predicate, object} (the model-required
+    slots with 'id' force-appended — NOT knowledge_level/agent_type, per the
+    reference's own executable battery); the CURIE prefix is stripped before
+    the snake_case shape check; unknown predicates are ERRORs."""
     from kgx_spark.operators.validator import validate_edge_records
 
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
     ln = F.col("l_linenumber")
     edges = li.select(
+        F.when(ln % 3 == 0, F.lit(None).cast("string"))  # missing on ln%3==0
+        .otherwise(F.concat_ws("-", F.lit("e"), "l_orderkey", "l_linenumber")).alias("id"),
         F.concat(F.lit("P:"), "l_partkey").alias("subject"),
         F.when(ln % 5 == 0, "biolink:frobnicates")   # shape-valid, unknown
-        .when(ln % 7 == 0, "has part")               # not a biolink CURIE
+        .when(ln % 7 == 0, "has part")               # fails the snake_case shape
         .otherwise("biolink:related_to").alias("predicate"),
         F.concat(F.lit("S:"), "l_suppkey").alias("object"),
-        F.lit("knowledge_assertion").alias("knowledge_level"),
-        F.when(ln % 3 == 0, F.lit(None).cast("string"))
-        .otherwise("manual_agent").alias("agent_type"),  # missing on ln%3==0
     )
     rep = error_report(validate_edge_records(edges))
     return rep.select("level", "error_type", "message", "count")
@@ -1844,18 +1850,17 @@ def oracle_sql() -> dict[str, str]:
         "validator_report": """
             SELECT * FROM (
                 SELECT 'ERROR' AS level, 'INVALID_NODE_PROPERTY_VALUE' AS error_type,
-                       'Node `id` is not a CURIE' AS message,
+                       'Node property ''id'' is expected to be of type ''CURIE''' AS message,
                        (SELECT count(*) FROM part WHERE p_partkey % 10 = 0)::BIGINT AS count
                 UNION ALL
                 SELECT 'ERROR', 'INVALID_CATEGORY',
-                       'Category is not in CamelCase biolink CURIE form',
+                       'Category ''gene'' is not in CamelCase form',
                        (SELECT count(*) FROM part WHERE p_partkey % 7 = 0)::BIGINT
                 UNION ALL
-                SELECT 'WARNING', 'UNKNOWN_CATEGORY',
-                       'Category is not a known biolink class',
+                SELECT 'ERROR', 'INVALID_CATEGORY',
+                       'Category ''Zebra'' is unknown in the current Biolink Model',
                        (SELECT count(*) FROM part
-                        WHERE p_partkey % 7 = 0
-                           OR (p_partkey % 5 = 0 AND p_partkey % 7 <> 0))::BIGINT
+                        WHERE p_partkey % 5 = 0 AND p_partkey % 7 <> 0)::BIGINT
             ) WHERE count > 0
         """,
         "node_degree": """
@@ -1901,11 +1906,13 @@ def oracle_sql() -> dict[str, str]:
         "validator_type_battery": """
             SELECT * FROM (
                 SELECT 'ERROR' AS level, 'INVALID_NODE_PROPERTY_VALUE' AS error_type,
-                       'Node `id` has a CURIE prefix ''FOO'' that is not represented in Biolink Model JSON-LD context' AS message,
-                       (SELECT count(*) FROM part WHERE p_partkey % 11 = 0)::BIGINT AS count
+                       'Node property ''id'' has a value ''FOO:' || p_partkey
+                         || ''' with a CURIE prefix ''FOO'' is not represented in Biolink Model JSON-LD context' AS message,
+                       1::BIGINT AS count
+                FROM part WHERE p_partkey % 11 = 0
                 UNION ALL
                 SELECT 'ERROR', 'INVALID_NODE_PROPERTY_VALUE_TYPE',
-                       'Multi-valued node property ''provided_by'' is expected to be of type ''list''',
+                       'Multi-valued node property ''provided_by'' is expected to be of type ''<class ''list''>''',
                        (SELECT count(*) FROM part)::BIGINT
                 UNION ALL
                 SELECT 'ERROR', 'INVALID_NODE_PROPERTY_VALUE_TYPE',
@@ -1915,18 +1922,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "validator_edge_report": """
             SELECT * FROM (
-                SELECT 'ERROR' AS level, 'INVALID_EDGE_PREDICATE' AS error_type,
-                       'Predicate is not in snake_case biolink CURIE form' AS message,
-                       (SELECT count(*) FROM lineitem
-                        WHERE l_linenumber % 5 <> 0 AND l_linenumber % 7 = 0)::BIGINT AS count
+                SELECT 'ERROR' AS level, 'MISSING_EDGE_PROPERTY' AS error_type,
+                       'Required edge property ''id'' is missing' AS message,
+                       (SELECT count(*) FROM lineitem WHERE l_linenumber % 3 = 0)::BIGINT AS count
                 UNION ALL
-                SELECT 'WARNING', 'UNKNOWN_EDGE_PREDICATE',
-                       'Predicate is not a known biolink predicate',
+                SELECT 'ERROR', 'INVALID_EDGE_PREDICATE',
+                       'Edge predicate ''frobnicates'' is not in Biolink Model',
                        (SELECT count(*) FROM lineitem WHERE l_linenumber % 5 = 0)::BIGINT
                 UNION ALL
-                SELECT 'ERROR', 'MISSING_EDGE_PROPERTY',
-                       'Required edge property ''agent_type'' is missing',
-                       (SELECT count(*) FROM lineitem WHERE l_linenumber % 3 = 0)::BIGINT
+                SELECT 'ERROR', 'INVALID_EDGE_PREDICATE',
+                       'Edge predicate ''has part'' is not in snake_case form',
+                       (SELECT count(*) FROM lineitem
+                        WHERE l_linenumber % 5 <> 0 AND l_linenumber % 7 = 0)::BIGINT
             ) WHERE count > 0
         """,
         "meta_kg_source_counts": f"""

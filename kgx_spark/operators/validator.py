@@ -1,15 +1,43 @@
 """Biolink validation battery ('kgx validate').
 
 Reference: kgx/validator.py:26-745
-- required node properties (id, category) / edge properties
-  (subject, predicate, object, knowledge_level, agent_type): 332-401
+- required node properties (validator.py:216-243: model-required slots +
+  category) / edge properties (validator.py:246-273: model-required slots
+  with 'id' force-appended — the executable battery in
+  tests/unit/test_validator.py:30-38,94-105 pins {id, subject, predicate,
+  object}: its all-of-those-present case passes with zero errors, so
+  knowledge_level/agent_type are NOT required by the pinned model)
 - property value TYPES per Biolink slot metadata (string/double/uriorcurie,
   multivalued-ness): 402-558
 - value-shape checks: id is CURIE + prefix in JSON-LD context (560-585),
-  category CamelCase CURIE + known class + non-mixin (629-684), predicate
-  snake_case CURIE + known predicate (686-744)
+  categories are CURIE-stripped then CamelCase-checked bare and resolved
+  against the model by sentence-case name (629-684), predicates are
+  CURIE-stripped then snake_case-checked bare and resolved against the
+  model (686-744)
 - errors aggregated [level][error_type][message] → [entities]
   (kgx/error_detection.py:48-174)
+
+Semantics are mirrored from the reference's own executable test battery
+(tests/unit/test_validator.py) — bare 'NamedThing' categories and bare
+'related_to' predicates are VALID (the reference strips any CURIE prefix
+and validates the bare name against the model), and unknown categories /
+predicates are ERRORs, not warnings. Message texts are the reference's
+verbatim (including its f"{list}" → "<class 'list'>" rendering on the
+node side vs plain 'list' on the edge side, and the node prefix message's
+missing 'that').
+
+Deliberate divergences (each pinned in tests/test_validator_reference_semantics.py):
+- D-V1 presence: the reference checks `key not in data` per record; a
+  DataFrame row's only absence representation is NULL, so NULL = missing
+  (an empty list is PRESENT, matching the reference's data.get behavior).
+- D-V2 uriorcurie values: the reference's type check
+  (validator.py:437-441, `not isinstance(value, str) and not
+  validators.url(value)`) accepts ANY string and flags ANY list — even a
+  list of valid CURIEs — because validators.url receives the whole list.
+  We validate per-element CURIE/URL shape instead of reproducing that bug.
+- D-V3 aliases: the reference errors when a category/predicate is an alias
+  of a model element (validator.py:676-684,731-744); the offline model
+  snapshot carries no alias table, so the alias check is not performed.
 
 Spark design: each rule is a where() producing rows of the shared errors
 schema (entity, level, error_type, message); rules union into one errors
@@ -23,6 +51,8 @@ has ONE type) plus per-value shape checks for uriorcurie slots.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -33,18 +63,22 @@ from kgx_spark.functions.biolink import (
     SLOT_TYPES,
     context_prefixes,
 )
-from kgx_spark.functions.curie import CURIE_REGEX
+from kgx_spark.functions.curie import CURIE_REGEX, curie_reference, is_curie
+from kgx_spark.functions.text import sentence_case
 
 # Back-compat alias: callers may pass their own snapshot.
 KNOWN_CATEGORIES = KNOWN_CLASSES
 
 REQUIRED_NODE_PROPERTIES = ("id", "category")  # validator.py:216-243
-# validator.py:246-273 derives these from the model's required association
-# slots — in the current Biolink model that is subject/predicate/object plus
-# knowledge_level and agent_type (docs/kgx_format.md:81-86)
-REQUIRED_EDGE_PROPERTIES = ("subject", "predicate", "object", "knowledge_level", "agent_type")
+# validator.py:246-273 + the executable battery (see module docstring)
+REQUIRED_EDGE_PROPERTIES = ("id", "subject", "predicate", "object")
 
 _ERR_SCHEMA = "entity string, level string, error_type string, message string"
+
+# validator.py:664 — applied to the CURIE-stripped bare category
+_CAMELCASE_RE = r"^([A-Z][a-z\d]+)+$"
+# validator.py:725 — applied to the CURIE-stripped bare predicate
+_SNAKECASE_PRED_RE = r"^([a-z_][^A-Z\s]+_?[a-z_][^A-Z\s]+)+$"
 
 # Slots where the reference's own declarations disagree on multivalued-ness:
 # column_types (kgx/utils/kgx_utils.py:50-56, drives its sanitizer) types
@@ -53,6 +87,18 @@ _ERR_SCHEMA = "entity string, level string, error_type string, message string"
 # legitimately carry EITHER shape — the type battery accepts both instead of
 # flagging scalars the reference's own pipeline produces (round-3 ADVICE).
 _SCALAR_OR_LIST_SLOTS = frozenset({"knowledge_source"})
+
+
+def _sentencecase_py(name: str) -> str:
+    """Driver-side stringcase.sentencecase(s).lower() for the snapshot's
+    CamelCase class/mixin names (no separators, so the kernel reduces to a
+    space before every non-initial capital) — the normalization the
+    reference applies to model names before is_category/is_mixin lookups."""
+    return re.sub(r"(?<=.)([A-Z])", r" \1", name).strip().lower()
+
+
+def _bare_names(curies) -> list[str]:
+    return [c.split(":", 1)[1] if ":" in c else c for c in sorted(curies)]
 
 
 def _emit(
@@ -68,34 +114,58 @@ def _emit(
 
 
 def _is_uri_or_curie(col: Column) -> Column:
-    """uriorcurie shape: CURIE regex or an http(s) URL (the reference accepts
-    str CURIEs and validators.url URLs — validator.py:437-441)."""
+    """uriorcurie shape: CURIE regex or an http(s) URL (divergence D-V2 —
+    the reference accepts any str and rejects any list, validator.py:437)."""
     return col.rlike(CURIE_REGEX) | col.startswith("http://") | col.startswith("https://")
+
+
+def _strip_prefix(col: Column) -> Column:
+    """PrefixManager.get_reference when CURIE-shaped, else unchanged — the
+    reference reassigns `category` / `edge_predicate` to the bare reference
+    part before every shape/model check (validator.py:661-663,722-724)."""
+    return F.when(is_curie(col), curie_reference(col)).otherwise(col)
 
 
 def validate_property_types(df: DataFrame, kind: str = "node") -> DataFrame:
     """The type battery (validator.py:402-558), Spark-shaped.
 
-    For every column matching a known Biolink slot:
-    - multivalued slots must be array columns; single-valued must not be
-      (the reference checks isinstance(value, list) per record — here the
-      column type decides, and a mismatch errors every non-null row);
-    - `double` slots must hold numeric values (non-castable strings error);
+    - id (nodes) and subject/object (edges) columns must be strings
+      (validator.py:425-427,484-494);
+    - for every other column matching a known Biolink slot: multivalued
+      slots must be array columns; single-valued must not be (the reference
+      checks isinstance(value, list) per record — here the column type
+      decides, and a mismatch errors every non-null row);
+    - `string` slots must be string-typed; `double` slots must hold numeric
+      values (non-castable strings error);
     - `uriorcurie` slots must hold CURIE- or URL-shaped values (per element
-      for arrays).
+      for arrays — divergence D-V2).
+
+    Message-text note: the reference renders the node-side multivalued /
+    single-valued messages with f"{list}" / f"{str}" ("<class 'list'>") and
+    the edge-side ones with plain 'list' / 'str' (validator.py:452,457 vs
+    543,552) — both reproduced verbatim.
     """
     spark = df.sparkSession
     out = spark.createDataFrame([], _ERR_SCHEMA)
-    if kind == "node":
-        ent = F.coalesce(F.col("id"), F.lit("<no id>"))
-        error_type = "INVALID_NODE_PROPERTY_VALUE_TYPE"
-    else:
-        ent = F.concat_ws(
-            "->", F.coalesce(F.col("subject"), F.lit("")), F.coalesce(F.col("object"), F.lit(""))
-        )
-        error_type = "INVALID_EDGE_PROPERTY_VALUE_TYPE"
-
     dtypes = dict(df.dtypes)
+    if kind == "node":
+        ent = F.coalesce(F.col("id").cast("string"), F.lit("<no id>")) if "id" in df.columns else F.lit("<no id>")
+        error_type = "INVALID_NODE_PROPERTY_VALUE_TYPE"
+        list_t, str_t = "<class 'list'>", "<class 'str'>"
+        if "id" in df.columns and dtypes["id"] != "string":
+            out = out.unionByName(_emit(
+                df, F.col("id").isNotNull(), ent, "ERROR", error_type,
+                "Node property 'id' is expected to be of type 'string'"))
+    else:
+        ent = _edge_entity(df)
+        error_type = "INVALID_EDGE_PROPERTY_VALUE_TYPE"
+        list_t, str_t = "list", "str"
+        for endpoint in ("subject", "object"):
+            if endpoint in df.columns and dtypes[endpoint] != "string":
+                out = out.unionByName(_emit(
+                    df, F.lit(True), ent, "ERROR", error_type,
+                    f"'{endpoint}' of an edge is expected to be of type 'string'"))
+
     for col in df.columns:
         if col not in SLOT_TYPES or col in ("id", "subject", "object"):
             continue
@@ -108,19 +178,23 @@ def validate_property_types(df: DataFrame, kind: str = "node") -> DataFrame:
         if multivalued and not is_array:
             out = out.unionByName(_emit(
                 df, c.isNotNull(), ent, "ERROR", error_type,
-                f"Multi-valued {kind} property '{col}' is expected to be of type 'list'"))
+                f"Multi-valued {kind} property '{col}' is expected to be of type '{list_t}'"))
             continue
         if not multivalued and is_array:
             out = out.unionByName(_emit(
                 df, c.isNotNull(), ent, "ERROR", error_type,
-                f"Single-valued {kind} property '{col}' is expected to be of type 'str'"))
+                f"Single-valued {kind} property '{col}' is expected to be of type '{str_t}'"))
             continue
-        if typeof == "double" and not is_array:
+        if typeof == "string" and not is_array and dtypes[col] != "string":
+            out = out.unionByName(_emit(
+                df, c.isNotNull(), ent, "ERROR", error_type,
+                f"{kind.capitalize()} property '{col}' is expected to be of type 'string'"))
+        elif typeof == "double" and not is_array:
             bad = c.isNotNull() & c.cast("double").isNull()
             out = out.unionByName(_emit(
                 df, bad, ent, "ERROR", error_type,
                 f"{kind.capitalize()} property '{col}' is expected to be of type 'double'"))
-        elif typeof == "uriorcurie":
+        elif typeof == "uriorcurie" and dtypes[col] in ("string", "array<string>"):
             if is_array:
                 bad = F.exists(c, lambda x: ~_is_uri_or_curie(x))
             else:
@@ -128,6 +202,114 @@ def validate_property_types(df: DataFrame, kind: str = "node") -> DataFrame:
             out = out.unionByName(_emit(
                 df, bad, ent, "ERROR", error_type,
                 f"{kind.capitalize()} property '{col}' is expected to be of type 'uri' or 'CURIE'"))
+    return out
+
+
+def validate_categories(
+    nodes: DataFrame,
+    known_categories: frozenset[str] = KNOWN_CLASSES,
+    known_mixins: frozenset[str] = KNOWN_MIXINS,
+) -> DataFrame:
+    """``category`` battery, reference-exact (validator.py:629-684):
+
+    - no category → "Node does not have a 'category' property";
+    - category not a list → type message (the f"{list}" rendering);
+    - per element: strip any CURIE prefix, CamelCase-check the bare name
+      (a failed CamelCase check does NOT suppress the model checks — the
+      reference keeps going), then mixin-vs-class resolution by
+      sentence-case name (if mixin → error; elif not a class → error).
+
+    Bare 'NamedThing' is valid; bare lowercase 'gene' draws only the
+    CamelCase error (its sentence-case form resolves to the Gene class) —
+    both pinned by the reference battery (tests/unit/test_validator.py:447-484).
+    """
+    spark = nodes.sparkSession
+    out = spark.createDataFrame([], _ERR_SCHEMA)
+    ent = F.coalesce(F.col("id").cast("string"), F.lit("<no id>")) if "id" in nodes.columns else F.lit("<no id>")
+    error_type = "INVALID_CATEGORY"
+
+    if "category" not in nodes.columns:
+        return out.unionByName(_emit(
+            nodes, F.lit(True), ent, "ERROR", error_type,
+            "Node does not have a 'category' property"))
+
+    out = out.unionByName(_emit(
+        nodes, F.col("category").isNull(), ent, "ERROR", error_type,
+        "Node does not have a 'category' property"))
+    if not dict(nodes.dtypes)["category"].startswith("array"):
+        return out.unionByName(_emit(
+            nodes, F.col("category").isNotNull(), ent, "ERROR", error_type,
+            f"Node property 'category' is expected to be of type {list}"))
+
+    class_sentence = F.array(*[
+        F.lit(_sentencecase_py(n)) for n in _bare_names(known_categories)])
+    mixin_sentence = F.array(*[
+        F.lit(_sentencecase_py(n)) for n in _bare_names(known_mixins)])
+
+    cats = nodes.select(ent.alias("_ent"), F.explode("category").alias("cat"))
+    bare = _strip_prefix(F.col("cat"))
+    cats = cats.select("_ent", bare.alias("bare"), sentence_case(bare).alias("sc"))
+    out = out.unionByName(_emit(
+        cats, ~F.col("bare").rlike(_CAMELCASE_RE), F.col("_ent"), "ERROR", error_type,
+        F.concat(F.lit("Category '"), F.col("bare"), F.lit("' is not in CamelCase form"))))
+    is_mixin = F.array_contains(mixin_sentence, F.col("sc"))
+    is_class = F.array_contains(class_sentence, F.col("sc"))
+    out = out.unionByName(_emit(
+        cats, is_mixin, F.col("_ent"), "ERROR", error_type,
+        F.concat(F.lit("Category '"), F.col("bare"),
+                 F.lit("' is a mixin in the Biolink Model"))))
+    out = out.unionByName(_emit(
+        cats, ~is_mixin & ~is_class, F.col("_ent"), "ERROR", error_type,
+        F.concat(F.lit("Category '"), F.col("bare"),
+                 F.lit("' is unknown in the current Biolink Model"))))
+    return out
+
+
+def _edge_entity(edges: DataFrame) -> Column:
+    """f"{subject}->{object}" — the reference's edge log_error entity,
+    including Python's 'None' rendering for a missing endpoint."""
+    def side(name: str) -> Column:
+        if name not in edges.columns:
+            return F.lit("None")
+        return F.coalesce(F.col(name).cast("string"), F.lit("None"))
+    return F.concat(side("subject"), F.lit("->"), side("object"))
+
+
+def validate_edge_predicates(
+    edges: DataFrame, known_predicates: frozenset[str] = KNOWN_PREDICATES
+) -> DataFrame:
+    """``predicate`` battery, reference-exact (validator.py:686-744): strip
+    any CURIE prefix, snake_case-check the bare name
+    (``^([a-z_][^A-Z\\s]+_?[a-z_][^A-Z\\s]+)+$``), resolve survivors against
+    the model's predicates — bare 'related_to' is valid, unknown predicates
+    are ERRORs (tests/unit/test_validator.py:487-543)."""
+    spark = edges.sparkSession
+    out = spark.createDataFrame([], _ERR_SCHEMA)
+    ent = _edge_entity(edges)
+    error_type = "INVALID_EDGE_PREDICATE"
+
+    if "predicate" not in edges.columns:
+        return out.unionByName(_emit(
+            edges, F.lit(True), ent, "ERROR", error_type,
+            "Edge does not have an 'predicate' property"))
+    out = out.unionByName(_emit(
+        edges, F.col("predicate").isNull(), ent, "ERROR", error_type,
+        "Edge does not have an 'predicate' property"))
+    if dict(edges.dtypes)["predicate"] != "string":
+        return out.unionByName(_emit(
+            edges, F.col("predicate").isNotNull(), ent, "ERROR", error_type,
+            "Edge property 'edge_predicate' is expected to be of type 'string'"))
+
+    bare = _strip_prefix(F.col("predicate"))
+    known = F.array(*[F.lit(p) for p in _bare_names(known_predicates)])
+    snake_ok = bare.rlike(_SNAKECASE_PRED_RE)
+    present = F.col("predicate").isNotNull()
+    out = out.unionByName(_emit(
+        edges, present & ~snake_ok, ent, "ERROR", error_type,
+        F.concat(F.lit("Edge predicate '"), bare, F.lit("' is not in snake_case form"))))
+    out = out.unionByName(_emit(
+        edges, present & snake_ok & ~F.array_contains(known, bare), ent, "ERROR", error_type,
+        F.concat(F.lit("Edge predicate '"), bare, F.lit("' is not in Biolink Model"))))
     return out
 
 
@@ -140,7 +322,7 @@ def validate_node_records(
     """→ errors DataFrame; empty when the graph is valid."""
     spark = nodes.sparkSession
     out = spark.createDataFrame([], _ERR_SCHEMA)
-    ent = F.coalesce(F.col("id"), F.lit("<no id>"))
+    ent = F.coalesce(F.col("id").cast("string"), F.lit("<no id>")) if "id" in nodes.columns else F.lit("<no id>")
 
     for prop in REQUIRED_NODE_PROPERTIES:
         if prop not in nodes.columns:
@@ -148,47 +330,34 @@ def validate_node_records(
             out = out.unionByName(_emit(nodes, F.lit(True), ent, "ERROR",
                                         "MISSING_NODE_PROPERTY", f"Required node property '{prop}' is missing"))
             continue
-        missing = F.col(prop).isNull()
-        if dict(nodes.dtypes)[prop].startswith("array"):
-            missing = missing | (F.size(prop) == 0)
-        out = out.unionByName(_emit(nodes, missing, ent, "ERROR",
+        # presence check (divergence D-V1: NULL = absent; an empty list is
+        # present, as it is for the reference's `p not in data`)
+        out = out.unionByName(_emit(nodes, F.col(prop).isNull(), ent, "ERROR",
                                     "MISSING_NODE_PROPERTY", f"Required node property '{prop}' is missing"))
 
-    # id must be a CURIE (validator.py:560-585)
-    out = out.unionByName(_emit(nodes, F.col("id").isNotNull() & ~F.col("id").rlike(CURIE_REGEX),
-                                ent, "ERROR", "INVALID_NODE_PROPERTY_VALUE", "Node `id` is not a CURIE"))
-
-    if check_prefixes:
-        # CURIE prefix must be registered in the Biolink JSON-LD context
-        # (validator.py:573-585) — broadcastable literal set, message carries
-        # the offending prefix like the reference's per-node message.
-        prefix = F.split_part("id", F.lit(":"), F.lit(1))
-        known_prefix = F.array_contains(
-            F.array(*[F.lit(p) for p in sorted(context_prefixes())]), prefix
-        )
+    # id must be a CURIE (validator.py:570-585)
+    if "id" in nodes.columns and dict(nodes.dtypes)["id"] == "string":
         out = out.unionByName(_emit(
-            nodes, F.col("id").isNotNull() & F.col("id").rlike(CURIE_REGEX) & ~known_prefix,
+            nodes, F.col("id").isNotNull() & ~F.col("id").rlike(CURIE_REGEX),
             ent, "ERROR", "INVALID_NODE_PROPERTY_VALUE",
-            F.concat(F.lit("Node `id` has a CURIE prefix '"), prefix,
-                     F.lit("' that is not represented in Biolink Model JSON-LD context"))))
+            "Node property 'id' is expected to be of type 'CURIE'"))
 
-    if "category" in nodes.columns:
-        cats = nodes.select(ent.alias("_ent"), F.explode("category").alias("cat"))
-        # CamelCase CURIE shape (validator.py:629-650)
-        out = out.unionByName(_emit(cats, ~F.col("cat").rlike(r"^biolink:[A-Z][a-zA-Z]*$"),
-                                    F.col("_ent"), "ERROR", "INVALID_CATEGORY",
-                                    "Category is not in CamelCase biolink CURIE form"))
-        # known-class check (validator.py:652-684)
-        known = F.array(*[F.lit(c) for c in sorted(known_categories)])
-        out = out.unionByName(_emit(cats, ~F.array_contains(known, F.col("cat")),
-                                    F.col("_ent"), "WARNING", "UNKNOWN_CATEGORY",
-                                    "Category is not a known biolink class"))
-        # mixin-as-category check (validator.py:660-668: categories must not
-        # be mixins)
-        mixins = F.array(*[F.lit(m) for m in sorted(KNOWN_MIXINS)])
-        out = out.unionByName(_emit(cats, F.array_contains(mixins, F.col("cat")),
-                                    F.col("_ent"), "ERROR", "INVALID_CATEGORY",
-                                    "Category is a mixin, not a class"))
+        if check_prefixes:
+            # CURIE prefix must be registered in the Biolink JSON-LD context
+            # (validator.py:577-584) — broadcastable literal set; the message
+            # is the reference's verbatim (note its missing 'that').
+            prefix = F.split_part("id", F.lit(":"), F.lit(1))
+            known_prefix = F.array_contains(
+                F.array(*[F.lit(p) for p in sorted(context_prefixes())]), prefix
+            )
+            out = out.unionByName(_emit(
+                nodes, F.col("id").isNotNull() & F.col("id").rlike(CURIE_REGEX) & ~known_prefix,
+                ent, "ERROR", "INVALID_NODE_PROPERTY_VALUE",
+                F.concat(F.lit("Node property 'id' has a value '"), F.col("id"),
+                         F.lit("' with a CURIE prefix '"), prefix,
+                         F.lit("' is not represented in Biolink Model JSON-LD context"))))
+
+    out = out.unionByName(validate_categories(nodes, known_categories))
     if check_types:
         out = out.unionByName(validate_property_types(nodes, "node"))
     return out
@@ -198,12 +367,12 @@ def validate_edge_records(
     edges: DataFrame,
     known_predicates: frozenset[str] = KNOWN_PREDICATES,
     check_types: bool = False,
+    check_prefixes: bool = False,
 ) -> DataFrame:
     spark = edges.sparkSession
     out = spark.createDataFrame([], _ERR_SCHEMA)
-    ent = F.concat_ws("-", F.coalesce(F.col("subject"), F.lit("")),
-                      F.coalesce(F.col("predicate"), F.lit("")),
-                      F.coalesce(F.col("object"), F.lit("")))
+    ent = _edge_entity(edges)
+    dtypes = dict(edges.dtypes)
 
     for prop in REQUIRED_EDGE_PROPERTIES:
         if prop not in edges.columns:
@@ -213,27 +382,27 @@ def validate_edge_records(
         out = out.unionByName(_emit(edges, F.col(prop).isNull(), ent, "ERROR",
                                     "MISSING_EDGE_PROPERTY", f"Required edge property '{prop}' is missing"))
 
-    # subject/object CURIE-ness (validator.py:560-585)
+    # subject/object CURIE-ness + prefix-vs-context (validator.py:586-627)
+    prefixes = F.array(*[F.lit(p) for p in sorted(context_prefixes())])
     for prop in ("subject", "object"):
-        if prop in edges.columns:
-            out = out.unionByName(_emit(edges, F.col(prop).isNotNull() & ~F.col(prop).rlike(CURIE_REGEX),
-                                        ent, "ERROR", "INVALID_EDGE_PROPERTY_VALUE",
-                                        f"Edge `{prop}` is not a CURIE"))
-    # predicate snake_case biolink CURIE (validator.py:686-744)
-    if "predicate" in edges.columns:
-        out = out.unionByName(_emit(edges, F.col("predicate").isNotNull()
-                                    & ~F.col("predicate").rlike(r"^biolink:[a-z][a-z_]*$"),
-                                    ent, "ERROR", "INVALID_EDGE_PREDICATE",
-                                    "Predicate is not in snake_case biolink CURIE form"))
-        # known-predicate check (validator.py:706-744)
-        known = F.array(*[F.lit(p) for p in sorted(known_predicates)])
+        if prop not in edges.columns or dtypes[prop] != "string":
+            continue
+        c = F.col(prop)
         out = out.unionByName(_emit(
-            edges,
-            F.col("predicate").isNotNull()
-            & F.col("predicate").rlike(r"^biolink:[a-z][a-z_]*$")
-            & ~F.array_contains(known, F.col("predicate")),
-            ent, "WARNING", "UNKNOWN_EDGE_PREDICATE",
-            "Predicate is not a known biolink predicate"))
+            edges, c.isNotNull() & ~c.rlike(CURIE_REGEX),
+            ent, "ERROR", "INVALID_EDGE_PROPERTY_VALUE",
+            F.concat(F.lit(f"Edge property '{prop}' has a value '"), c,
+                     F.lit("' which is not a proper CURIE"))))
+        if check_prefixes:
+            prefix = F.split_part(prop, F.lit(":"), F.lit(1))
+            out = out.unionByName(_emit(
+                edges, c.isNotNull() & c.rlike(CURIE_REGEX) & ~F.array_contains(prefixes, prefix),
+                ent, "ERROR", "INVALID_EDGE_PROPERTY_VALUE",
+                F.concat(F.lit(f"Edge property '{prop}' has a value '"), c,
+                         F.lit("' with a CURIE prefix '"), prefix,
+                         F.lit("' that is not represented in Biolink Model JSON-LD context"))))
+
+    out = out.unionByName(validate_edge_predicates(edges, known_predicates))
     if check_types:
         out = out.unionByName(validate_edge_records_types(edges))
     return out

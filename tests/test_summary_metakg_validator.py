@@ -114,15 +114,17 @@ def test_validator(spark):
             ("HGNC:1", ["biolink:Gene"]),           # valid
             ("not a curie", ["biolink:Gene"]),      # invalid id
             ("HGNC:3", ["gene"]),                   # invalid category form
-            ("HGNC:4", ["biolink:MadeUpThing"]),    # unknown category → warning
+            ("HGNC:4", ["biolink:MadeUpThing"]),    # unknown category → error
         ],
         "id string, category array<string>",
     )
     errs = validate_node_records(nodes)
-    by_type = {r["error_type"]: r for r in error_report(errs).collect()}
-    assert "INVALID_NODE_PROPERTY_VALUE" in by_type
-    assert by_type["INVALID_CATEGORY"]["entities"] == ["HGNC:3"]
-    assert "HGNC:4" in by_type["UNKNOWN_CATEGORY"]["entities"]
+    by_msg = {r["message"]: r for r in error_report(errs).collect()}
+    assert by_msg["Node property 'id' is expected to be of type 'CURIE'"][
+        "entities"] == ["not a curie"]
+    assert by_msg["Category 'gene' is not in CamelCase form"]["entities"] == ["HGNC:3"]
+    unknown = by_msg["Category 'MadeUpThing' is unknown in the current Biolink Model"]
+    assert unknown["entities"] == ["HGNC:4"] and unknown["level"] == "ERROR"
 
     edges = spark.createDataFrame(
         [
