@@ -1608,6 +1608,47 @@ def _election_oracle_sql() -> str:
     """
 
 
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.eval_ngram_hits): per-doc
+    count of word 3-grams colliding with a deterministic 'benchmark set'
+    (every 97th doc — stands in for a held-out eval suite). The eval-gram
+    set is broadcast; corpus shingles are probed map-side (GPT-3-style
+    13-gram collision test, shrunk to 3-grams for the word-salad fixture).
+    """
+    from kgx_spark.operators.dedup import eval_ngram_hits
+
+    docs = _docs(spark, sf)
+    eval_df = docs.where(F.col("doc_id") % 97 == 0).select("text")
+    out = eval_ngram_hits(docs, eval_df, ngram=3)
+    return out.select(
+        "doc_id", "n_grams", "n_hit_grams",
+        F.col("contaminated").cast("int").alias("contaminated"),
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction (operators/redact.pii_scrub): email/SSN/IPv4/phone
+    patterns counted + replaced with typed tokens, sequentially (each
+    pattern sees the previous patterns' redactions). The fixture corpus
+    carries no PII, so deterministic PII-bearing suffixes are synthesized
+    from doc_id — identically in Spark and the oracle — making every
+    pattern fire on every row."""
+    from kgx_spark.operators.redact import pii_scrub
+
+    docs = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 (415) 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" host 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" ssn 219-09-9999")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scrub(docs)
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -1748,6 +1789,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_tokenized": q_pack_sequences_tokenized,
         "materialize_packs": q_materialize_packs,
         "media_features": q_media_features,
+        # round-6 additions (never-rowed; queued for the r07 rotation)
+        "decontaminate": q_decontaminate,
+        "pii_scrub": q_pii_scrub,
     }
 
 
@@ -2786,6 +2830,73 @@ def oracle_sql() -> dict[str, str]:
             FROM part
         """,
         "transform_ops": _TRANSFORM_OPS_SQL,
+        "decontaminate": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> w <> '') AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, unnest(list_distinct(
+                    CASE WHEN len(t) >= 3 THEN list_transform(
+                        generate_series(1, len(t) - 2),
+                        i -> array_to_string(list_slice(t, i, i + 2), ' '))
+                    ELSE CAST([] AS VARCHAR[]) END)) AS gram
+                FROM toks
+            ),
+            eval_grams AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+            totals AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM grams GROUP BY 1),
+            hits AS (
+                SELECT g.doc_id, count(*)::BIGINT AS n_hit_grams
+                FROM grams g JOIN eval_grams e USING (gram) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(t.n_grams, 0)::BIGINT AS n_grams,
+                   coalesce(h.n_hit_grams, 0)::BIGINT AS n_hit_grams,
+                   (CASE WHEN coalesce(h.n_hit_grams, 0) > 0 THEN 1 ELSE 0 END)::INT AS contaminated
+            FROM documents d
+            LEFT JOIN totals t USING (doc_id)
+            LEFT JOIN hits h USING (doc_id)
+        """,
+        # Same PII patterns as operators/redact.PII_PATTERNS (Java∩RE2 subset),
+        # same sequential count-then-redact order: email, ssn, ipv4, phone.
+        "pii_scrub": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       text || ' contact user' || doc_id || '@example.com or +1 (415) 555-'
+                            || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                            || ' host 10.0.' || (doc_id % 256)::VARCHAR || '.7'
+                            || CASE WHEN doc_id % 5 = 0 THEN ' ssn 219-09-9999' ELSE '' END AS text
+                FROM documents
+            ),
+            s1 AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+                       regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS text
+                FROM base
+            ),
+            s2 AS (
+                SELECT doc_id, n_email,
+                       len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))::BIGINT AS n_ssn,
+                       regexp_replace(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g') AS text
+                FROM s1
+            ),
+            s3 AS (
+                SELECT doc_id, n_email, n_ssn,
+                       len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))::BIGINT AS n_ipv4,
+                       regexp_replace(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IPV4]', 'g') AS text
+                FROM s2
+            ),
+            s4 AS (
+                SELECT doc_id, n_email, n_ssn, n_ipv4,
+                       len(regexp_extract_all(text, '\+?[0-9][0-9()\-\s.]{6,}[0-9]'))::BIGINT AS n_phone,
+                       regexp_replace(text, '\+?[0-9][0-9()\-\s.]{6,}[0-9]', '[PHONE]', 'g') AS text
+                FROM s3
+            )
+            SELECT doc_id, text AS text_redacted, n_email, n_ssn, n_ipv4, n_phone,
+                   (n_email + n_ssn + n_ipv4 + n_phone)::BIGINT AS n_pii
+            FROM s4
+        """,
     }
 
 

@@ -453,3 +453,78 @@ def simhash_near_dups(
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def eval_ngram_hits(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+    ngram: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination signal: per-document count of distinct word
+    n-grams that also occur in an evaluation/benchmark set (the GPT-3-style
+    13-gram collision test — training docs that share long shingles with the
+    eval set leak the benchmark into training).
+
+    → (id, n_grams, n_hit_grams, contaminated). Matching is lowercase
+    word-shingle equality, the same shingle kernel every dedup operator here
+    uses (``word_set``); docs shorter than ``ngram`` words report 0 grams
+    and are never contaminated.
+
+    Scale shape: the eval set is benchmark-sized (10^3–10^6 grams) while the
+    corpus is the 100 TB side, so the distinct eval-gram set is explicitly
+    ``broadcast()`` — corpus shingles are probed map-side and NEVER shuffled
+    on the gram key; the only shuffle is the (id) count re-aggregation,
+    partial-aggregated map-side. The corpus side streams: one projection,
+    one explode, no distinct-on-corpus-grams stage (per-doc dedup happens
+    inside the shingle array before the explode).
+    """
+    grams = word_set(df, id_col, text_col, ngram=ngram)
+    eval_grams = (
+        word_set(
+            eval_df.select(F.monotonically_increasing_id().alias("_eid"), F.col(eval_text_col)),
+            "_eid",
+            eval_text_col,
+            ngram=ngram,
+        )
+        .select("word")
+        .distinct()
+    )
+    hits = (
+        grams.join(F.broadcast(eval_grams), on="word", how="left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit_grams"))
+    )
+    totals = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    return (
+        df.select(F.col(id_col))
+        .join(totals, on=id_col, how="left")
+        .join(hits, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_hit_grams", F.lit(0)).cast("bigint").alias("n_hit_grams"),
+            (F.coalesce("n_hit_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+    ngram: int = 13,
+) -> DataFrame:
+    """Drop every document sharing at least one ``ngram``-word shingle with
+    the eval set (see eval_ngram_hits). Returns the surviving rows of ``df``
+    unchanged — an anti-join against the contaminated-id set."""
+    contaminated = (
+        eval_ngram_hits(df, eval_df, id_col, text_col, eval_text_col, ngram)
+        .where(F.col("contaminated"))
+        .select(id_col)
+    )
+    return df.join(contaminated, on=id_col, how="left_anti")
