@@ -1688,7 +1688,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # count_by_id_prefix, count_by_predicate, facet_counts,
     # meta_kg_source_counts, fold_predicate, unfold_node_property,
     # remove_singletons). Still never-rowed, queued for r07: ngram_overlap,
-    # line_dedup, repetition_signals, stratified_sample.
+    # line_dedup, repetition_signals, stratified_sample, and the round-6
+    # additions decontaminate + pii_scrub.
     return {
         # §2.6 merge + §2.3 validate/filter
         "merge_nodes": q_merge_nodes,
