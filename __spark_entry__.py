@@ -1333,12 +1333,15 @@ def q_sssom_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_obograph_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """Obograph source round-trip (obograph_source.py:32-374): lbl/meta
-    definition/synonyms/xrefs, prefix→category inference, is_a predicate
-    normalization — JSON generated deterministically from part."""
+    definition/synonyms/xrefs, hasOBONamespace→category resolution (the
+    reference's get_category:246-283 — GO is NOT in its prefix fallback
+    list, the namespace property decides), is_a predicate normalization —
+    JSON generated deterministically from part."""
     import json as _json
 
     from kgx_spark.sources.obograph import read_obograph
 
+    _NAMESPACES = ["molecular_function", "biological_process", "cellular_component"]
     rows = spark.read.parquet(f"{sf}/part.parquet").select("p_partkey", "p_name").collect()
     nodes_doc, edges_doc = [], []
     for r in sorted(rows, key=lambda r: r["p_partkey"]):
@@ -1350,6 +1353,10 @@ def q_obograph_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
                 "definition": {"val": f"def {k}"},
                 "synonyms": [{"pred": "hasExactSynonym", "val": f"syn{k}"}],
                 "xrefs": [{"val": f"X:{k}"}],
+                "basicPropertyValues": [
+                    {"pred": "http://www.geneontology.org/formats/oboInOwl#hasOBONamespace",
+                     "val": _NAMESPACES[k % 4] if k % 4 < 3 else "external"}
+                ] if k % 5 != 0 else [],
             },
         })
         if k >= 2:
@@ -2771,7 +2778,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'GO:' || p_partkey AS id, p_name AS name,
                    'def ' || p_partkey AS description,
                    'syn' || p_partkey AS synonym, 'X:' || p_partkey AS xref,
-                   'biolink:BiologicalProcessOrActivity' AS category,
+                   CASE WHEN p_partkey % 5 = 0 THEN 'biolink:OntologyClass'
+                        WHEN p_partkey % 4 = 0 THEN 'biolink:MolecularActivity'
+                        WHEN p_partkey % 4 = 1 THEN 'biolink:BiologicalProcess'
+                        WHEN p_partkey % 4 = 2 THEN 'biolink:CellularComponent'
+                        ELSE 'biolink:OntologyClass' END AS category,
                    CASE WHEN p_partkey >= 2 THEN 'biolink:subclass_of' END AS predicate,
                    CASE WHEN p_partkey >= 2 THEN 'GO:' || (p_partkey // 2) END AS object
             FROM part

@@ -22,6 +22,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
+from kgx_spark.functions.keys import generate_edge_identifiers
 from kgx_spark.operators.sanitize import sanitize_import
 from kgx_spark.operators.validate import validate_edges, validate_nodes
 
@@ -57,6 +58,9 @@ def read_edges_tsv(
     spark: SparkSession, path: str, fmt: str = "tsv", validate: bool = True, sniff: bool = True
 ) -> DataFrame:
     df = sanitize_import(_read_table(spark, path, fmt), sniff=sniff)
+    # the reference fills a missing edge id with generate_uuid()
+    # (tsv_source.py:268-269); we fill deterministically (keys.py rationale)
+    df = generate_edge_identifiers(df)
     if validate:
         df, _ = validate_edges(df)
     return df

@@ -46,7 +46,9 @@ OBO = {
                         "xrefs": [{"val": "Wikipedia:Biological_process"}],
                         "basicPropertyValues": [
                             {"pred": "http://www.w3.org/2004/02/skos/core#exactMatch",
-                             "val": "http://identifiers.org/hgnc/42"}
+                             "val": "http://identifiers.org/hgnc/42"},
+                            {"pred": "http://www.geneontology.org/formats/oboInOwl#hasOBONamespace",
+                             "val": "biological_process"},
                         ],
                     },
                 },
@@ -73,9 +75,14 @@ def test_obograph(spark, tmp_path):
     assert root["description"] == "A process."
     assert root["synonym"] == ["bp"]
     assert root["same_as"] == ["HGNC:42"]
-    assert root["category"] == ["biolink:BiologicalProcessOrActivity"]
+    # hasOBONamespace resolves through the model (obograph_source.py:264-283)
+    assert root["category"] == ["biolink:BiologicalProcess"]
+    # no namespace property + GO absent from the prefix fallback list
+    # (obograph_source.py:287-303) → the reference's OntologyClass default
+    assert n["GO:0008151"]["category"] == ["biolink:OntologyClass"]
     e = edges.first()
     assert (e["subject"], e["predicate"], e["object"]) == ("GO:0008151", "biolink:subclass_of", "GO:0008150")
+    assert e["relation"] == "rdfs:subClassOf"  # read_edge:226-228
 
 
 def test_traversal(spark):
