@@ -102,8 +102,33 @@ def sniff_list_columns(df: DataFrame, delimiter: str = LIST_DELIMITER) -> set[st
     return wrapped
 
 
+#: The reference's declared column_types keys (kgx_utils.py:50-69) — the
+#: fast path in _sanitize_import_property; everything ELSE falls through to
+#: the model-multivalued-slot wrap (kgx_utils.py:885-899).
+REFERENCE_COLUMN_TYPES = frozenset(
+    {
+        "publications",
+        "qualifiers",
+        "category",
+        "synonym",
+        "same_as",
+        "negated",
+        "xrefs",
+        "knowledge_source",
+        "primary_knowledge_source",
+        "original_knowledge_source",
+        "aggregator_knowledge_source",
+        "supporting_data_source",
+        "provided_by",
+    }
+)
+
+
 def sanitize_import(
-    df: DataFrame, list_columns: set[str] | None = None, sniff: bool = False
+    df: DataFrame,
+    list_columns: set[str] | None = None,
+    sniff: bool = False,
+    wrap_slots: bool = False,
 ) -> DataFrame:
     """Apply the reference's per-property import coercions to a whole DataFrame.
 
@@ -112,11 +137,21 @@ def sanitize_import(
     - `negated` is coerced to boolean;
     - all other strings get \\n/\\t stripped and empty→null;
     - with ``sniff=True``, undeclared delimiter-bearing string columns and
-      Biolink-multivalued slots also become lists (kgx_utils.py:884-899).
+      Biolink-multivalued slots also become lists (kgx_utils.py:884-899);
+    - with ``wrap_slots=True`` (the reference's NO-delimiter sources — RDF,
+      where list_delimiter is None, kgx_utils.py:890-897), undeclared
+      columns named like Biolink multivalued slots (`type`, `has_evidence`,
+      singular `xref`) WRAP their scalar value into a one-element list
+      instead of splitting — a literal '|' inside an RDF literal is data.
     """
     listcols = MULTIVALUED_PROPERTIES if list_columns is None else list_columns
     if sniff:
         listcols = set(listcols) | sniff_list_columns(df)
+    wrapcols: set[str] = set()
+    if wrap_slots:
+        wrapcols = (
+            set(biolink_multivalued_slots()) - REFERENCE_COLUMN_TYPES - set(listcols)
+        )
     out = []
     for field in df.schema.fields:
         c = F.col(field.name)
@@ -127,6 +162,13 @@ def sanitize_import(
                 expr = clean_array(c)
             else:
                 expr = split_list_column(c.cast("string"))
+        elif field.name in wrapcols:
+            if isinstance(field.dataType, T.ArrayType):
+                expr = clean_array(c)
+            else:
+                expr = F.when(
+                    c.isNotNull(), clean_array(F.array(c.cast("string")))
+                )
         elif isinstance(field.dataType, T.StringType):
             expr = clean_string(c)
         else:

@@ -1,0 +1,366 @@
+"""Predicate dispatch for RDF sources.
+
+A faithful port of the reference's per-predicate processing —
+``RdfSource.process_predicate`` (kgx/source/rdf_source.py:554-631),
+``get_biolink_element`` (821-861), the ``add_node_attribute`` key mapping
+(357-423) and the ``add_edge`` predicate gate (495-527) — evaluated
+DRIVER-SIDE once per distinct predicate IRI.
+
+Scale rationale: predicates are vocabulary, not data. The reference LRU-
+caches exactly this computation per predicate string (``self.cache[p]``,
+rdf_source.py:571); here the same bounded table (tens to a few hundred
+rows for any real KG) is computed once on the driver and broadcast-joined
+into the triple frame, so executors never run Python. The only driver
+work proportional to anything is a ``collect`` of DISTINCT predicate
+IRIs — bounded by vocabulary size, never by row count.
+
+Model lookups that the reference delegates to bmt (``toolkit.get_element``
+/ ``get_element_by_mapping``) resolve here against the public
+biolink-model tables in ``kgx_spark.functions.biolink_model`` plus
+``SLOT_MAPPINGS`` below (the model's published slot ``mappings``, which is
+what ``get_element_by_mapping`` consults). ``curie_lookup`` (the
+reference's CurieLookupService, kgx/curie_lookup_service.py:16-60: a
+built-in two-entry map plus rdfs:labels harvested from the public RO/BFO
+ontologies at runtime) is reproduced as a curated label table — this
+sandbox cannot download ro.owl, so the table carries the labels the
+reference's own tests exercise plus the common RO/BFO relations.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from kgx_spark.functions.biolink_model import CLASSES, PREDICATES, SLOT_TYPES
+from kgx_spark.functions.curie import (
+    CURIE_REGEX,
+    DEFAULT_PREFIX_MAP,
+    OBO_IDSPACES,
+    normalize_prefix_map,
+)
+
+import re
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+BIOLINK_NS = "https://w3id.org/biolink/vocab/"
+OBAN_NS = "http://purl.org/oban/"
+
+#: IRIs whose presence marks the SUBJECT as a reified statement
+#: (rdf_source.py:78-87 reification_predicates).
+REIFICATION_PREDICATES = frozenset(
+    {RDF_NS + r for r in ("subject", "predicate", "object")}
+    | {BIOLINK_NS + r for r in ("subject", "predicate", "object")}
+    | {OBAN_NS + "association_has_" + r for r in ("subject", "predicate", "object")}
+)
+
+#: rdf:type OBJECTS that mark the subject as a reified statement
+#: (rdf_source.py:72-77 reification_types).
+REIFICATION_TYPES = frozenset(
+    {RDF_NS + "Statement", BIOLINK_NS + "Association", OBAN_NS + "association"}
+)
+
+#: Default context for RDF reads — the reference loads the Biolink
+#: JSON-LD context (kgx/prefix_manager.py:50-76); this is the subset its
+#: tests exercise, normalized exactly like a loaded context (so "" maps to
+#: the reference's DEFAULT namespace and MONARCH/OBAN are present).
+RDF_CONTEXT_EXTRAS: dict[str, str] = {
+    "OBAN": OBAN_NS,
+    "UniProtKB": "http://identifiers.org/uniprot/",
+    "ORPHA": "http://www.orpha.net/ORDO/Orphanet_",
+    "HP": "http://purl.obolibrary.org/obo/HP_",
+    "SO": "http://purl.obolibrary.org/obo/SO_",
+    "ECO": "http://purl.obolibrary.org/obo/ECO_",
+    "RO": "http://purl.obolibrary.org/obo/RO_",
+    "BFO": "http://purl.obolibrary.org/obo/BFO_",
+    "skos": "http://www.w3.org/2004/02/skos/core#",
+    "dct": "http://purl.org/dc/terms/",
+    "dc": "http://purl.org/dc/elements/1.1/",
+}
+
+#: The reference CurieLookupService map: its two built-in entries
+#: (curie_lookup_service.py:7) plus rdfs:labels (space → underscore,
+#: curie_lookup_service.py:50-52) of the RO/BFO relations that appear in
+#: the reference's own fixtures and tests. Public OBO label data.
+CURIE_LOOKUP: dict[str, str] = {
+    "BFO:0000054": "realized_in",
+    "RO:0000091": "has_disposition",
+    "BFO:0000050": "part_of",
+    "BFO:0000051": "has_part",
+    "BFO:0000066": "occurs_in",
+    "RO:0000053": "has_characteristic",
+    "RO:0000087": "has_role",
+    "RO:0002200": "has_phenotype",
+    "RO:0002211": "regulates",
+    "RO:0002212": "negatively_regulates",
+    "RO:0002213": "positively_regulates",
+    "RO:0002558": "has_evidence",
+}
+
+#: Published biolink-model slot/class ``mappings`` (the data behind the
+#: reference's ``toolkit.get_element_by_mapping``), keyed by mapping CURIE
+#: → element name as it appears in our model tables. bmt indexes both the
+#: CURIE and its expansion; ``_element_index`` below does the same.
+SLOT_MAPPINGS: dict[str, str] = {
+    # association slots (biolink-model: subject/predicate/object mappings)
+    "rdf:subject": "subject",
+    "owl:annotatedSource": "subject",
+    "OBAN:association_has_subject": "subject",
+    "rdf:predicate": "predicate",
+    "owl:annotatedProperty": "predicate",
+    "OBAN:association_has_predicate": "predicate",
+    "rdf:object": "object",
+    "owl:annotatedTarget": "object",
+    "OBAN:association_has_object": "object",
+    # node-property slots
+    "rdfs:label": "name",
+    "dct:description": "description",
+    "skos:altLabel": "synonym",
+    "oboInOwl:hasDbXref": "xref",
+    # predicate slots
+    "owl:sameAs": "same_as",
+    "owl:equivalentClass": "same_as",
+    "skos:exactMatch": "exact_match",
+    "skos:closeMatch": "close_match",
+    "skos:broadMatch": "broad_match",
+    "skos:narrowMatch": "narrow_match",
+    "rdfs:subClassOf": "subclass_of",
+    "rdfs:subPropertyOf": "subclass_of",
+    "RO:0002606": "treats",
+    "RO:0002200": "has_phenotype",
+    "RO:0002434": "interacts_with",
+    "RO:0002524": "has_part",
+    "BFO:0000050": "part_of",
+    "BFO:0000051": "has_part",
+}
+
+#: Expansions for mapping-CURIE prefixes (to index IRIs alongside CURIEs).
+_MAPPING_NS = {
+    "rdf": RDF_NS,
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "owl": "http://www.w3.org/2002/07/owl#",
+    "skos": "http://www.w3.org/2004/02/skos/core#",
+    "dct": "http://purl.org/dc/terms/",
+    "oboInOwl": "http://www.geneontology.org/formats/oboInOwl#",
+    "OBAN": OBAN_NS,
+    "RO": "http://purl.obolibrary.org/obo/RO_",
+    "BFO": "http://purl.obolibrary.org/obo/BFO_",
+}
+
+#: Edge-predicate prefixes allowed through the add_edge gate
+#: (rdf_source.py:517-527); anything else CURIE-shaped collapses to
+#: biolink:related_to.
+ALLOWED_PREDICATE_PREFIXES = frozenset({"biolink", "rdf", "rdfs", "skos", "owl"})
+DEFAULT_EDGE_PREDICATE = "biolink:related_to"
+
+_CURIE_RE = re.compile(CURIE_REGEX)
+
+
+def build_rdf_prefix_map(prefix_map: dict[str, str] | None = None) -> dict[str, str]:
+    """Default RDF context + user overrides, reference-normalized."""
+    pm = dict(DEFAULT_PREFIX_MAP)
+    pm.update(RDF_CONTEXT_EXTRAS)
+    if prefix_map:
+        pm.update(prefix_map)
+    return normalize_prefix_map(pm)
+
+
+def is_curie(s: str) -> bool:
+    return isinstance(s, str) and bool(_CURIE_RE.match(s))
+
+
+def is_iri(s: str) -> bool:
+    return isinstance(s, str) and s.startswith("http")
+
+
+def get_reference(curie: str) -> str | None:
+    return curie.split(":", 1)[1] if is_curie(curie) else None
+
+
+def get_prefix(curie: str) -> str | None:
+    return curie.split(":", 1)[0] if is_curie(curie) else None
+
+
+_OBO_PURL_RE = re.compile(
+    r"^http://purl\.obolibrary\.org/obo/((?:APOLLO_SV)|[A-Za-z][A-Za-z0-9]*)_([^/\s]+)$"
+)
+
+
+def contract_py(uri: str, pm: dict[str, str]) -> str:
+    """Python twin of ``functions.curie.contract`` (same match order:
+    exact-namespace shortform, longest prefix, registry-gated OBO PURL,
+    else the input unchanged — kgx_utils.py:223-267 returns the URI on
+    miss)."""
+    reverse = {u: p for p, u in pm.items()}
+    if uri in reverse:
+        return reverse[uri]
+    for prefix, ns in sorted(pm.items(), key=lambda kv: -len(kv[1])):
+        if ns and uri.startswith(ns):
+            return f"{prefix}:{uri[len(ns):]}"
+    m = _OBO_PURL_RE.match(uri)
+    if m and m.group(1) in OBO_IDSPACES:
+        return f"{m.group(1)}:{m.group(2)}"
+    return uri
+
+
+def _snake(name: str) -> str:
+    out = [name[0].lower()] if name else []
+    for ch in name[1:]:
+        if ch.isupper():
+            out.append("_")
+        out.append(ch.lower())
+    return "".join(out)
+
+
+def _name_index() -> dict[str, tuple[str, str]]:
+    """element name → (element_uri, kind) — bmt's ``get_element`` over the
+    public model tables. Predicate and property slots yield
+    ``biolink:{snake}`` definition URIs (SlotDefinition branch,
+    rdf_source.py:598-607), classes yield ``biolink:{CamelCase}``
+    (ClassDefinition branch, 608-611). Keys are snake_case, matching the
+    reference parts a CURIE yields (bmt normalizes '_' ↔ ' ')."""
+    idx: dict[str, tuple[str, str]] = {}
+    for cls in CLASSES:
+        idx.setdefault(_snake(cls), (f"biolink:{cls}", "class"))
+    for slot in PREDICATES:
+        idx[slot] = (f"biolink:{slot}", "slot")
+    for prop in SLOT_TYPES:
+        idx[prop] = (f"biolink:{prop}", "slot")
+    return idx
+
+
+def _mapping_index() -> dict[str, str]:
+    """mapping CURIE *and* its IRI expansion → element name — bmt's
+    ``get_element_by_mapping`` index."""
+    idx: dict[str, str] = {}
+    for mapping, name in SLOT_MAPPINGS.items():
+        idx[mapping] = name
+        pfx, _, ref = mapping.partition(":")
+        ns = _MAPPING_NS.get(pfx)
+        if ns:
+            idx[ns + ref] = name
+    return idx
+
+
+NAME_INDEX = _name_index()
+MAPPING_INDEX = _mapping_index()
+
+
+def get_biolink_element(p: str, pm: dict[str, str]) -> tuple[str, str] | None:
+    """(element_uri, kind) for a predicate, else None
+    (rdf_source.py:821-861: the CURIE reference as an element name first,
+    then the raw value and the reference against the model mappings)."""
+    curie = contract_py(p, pm) if is_iri(p) else p
+    reference = get_reference(curie) if is_curie(curie) else curie
+    el = NAME_INDEX.get(reference)
+    if el:
+        return el
+    name = MAPPING_INDEX.get(p) or MAPPING_INDEX.get(curie) or MAPPING_INDEX.get(reference)
+    return NAME_INDEX.get(name) if name else None
+
+
+@dataclass(frozen=True)
+class PredicateInfo:
+    """One reference ``self.cache[p]`` entry plus the downstream decisions
+    that depend only on the predicate."""
+
+    element_uri: str | None
+    predicate: str | None  # CURIE form (process_predicate's `predicate`)
+    property_name: str  # reference part (its `property_name`)
+    prop_uri: str  # element_uri or predicate or property_name
+    mapped_key: str  # add_node_attribute's column name
+    is_reification_role: bool  # p in reification_predicates
+    reify_marker: bool  # role OR property_name in {subject,...}
+    is_node_prop: bool  # non-literal dispatch says node attribute
+    edge_predicate: str  # add_edge's resolved+gated predicate
+    relation: str  # add_edge's relation default (CURIE form)
+
+
+def process_predicate(
+    p: str,
+    pm: dict[str, str],
+    node_property_predicates: frozenset[str] = frozenset(),
+    predicate_mapping: dict[str, str] | None = None,
+) -> PredicateInfo:
+    """Port of rdf_source.py:554-631 + the triple()/add_edge decisions that
+    are functions of the predicate alone (223-285, 495-527)."""
+    predicate_mapping = predicate_mapping or {}
+    predicate: str | None
+    if is_iri(p):
+        predicate = contract_py(p, pm)
+    else:
+        predicate = None
+    if is_curie(p):
+        property_name = get_reference(p) or p
+        predicate = p
+    else:
+        if predicate and is_curie(predicate):
+            property_name = get_reference(predicate) or predicate
+        else:
+            property_name = p
+            predicate = f":{p}"
+    element = get_biolink_element(p, pm) or (
+        get_biolink_element(predicate, pm) if predicate else None
+    )
+    element_uri: str | None = None
+    if element:
+        element_uri = element[0]
+        if not predicate:
+            predicate = element_uri
+    else:
+        if p in predicate_mapping:
+            property_name = predicate_mapping[p]
+            predicate = f":{property_name}"
+
+    prop_uri = element_uri or predicate or property_name
+
+    # --- add_node_attribute key mapping (357-423) ---
+    key_curie = contract_py(prop_uri, pm) if is_iri(prop_uri) else prop_uri
+    c = CURIE_LOOKUP.get(key_curie)
+    if c:
+        key_curie = c
+    mapped_key = get_reference(key_curie) if is_curie(key_curie) else key_curie
+
+    # --- triple() dispatch, the predicate-only parts (248-285) ---
+    is_role = p in REIFICATION_PREDICATES
+    reify_marker = is_role or property_name in {"subject", "predicate", "object", "relation"}
+    npp = node_property_predicates
+    is_node_prop = bool(
+        (element_uri and element_uri in npp)
+        or p in npp
+        or (predicate and predicate in npp)
+        or property_name in npp
+    )
+
+    # --- add_edge predicate resolution + gate (510-527) ---
+    edge_predicate = element_uri or predicate or property_name
+    pfx = get_prefix(edge_predicate)
+    if pfx not in ALLOWED_PREDICATE_PREFIXES and is_curie(edge_predicate):
+        edge_predicate = DEFAULT_EDGE_PREDICATE
+
+    return PredicateInfo(
+        element_uri=element_uri,
+        predicate=predicate,
+        property_name=property_name,
+        prop_uri=prop_uri,
+        mapped_key=mapped_key or str(prop_uri),
+        is_reification_role=is_role,
+        reify_marker=reify_marker,
+        is_node_prop=is_node_prop,
+        edge_predicate=edge_predicate,
+        relation=predicate or str(prop_uri),
+    )
+
+
+def default_node_property_predicates() -> frozenset[str]:
+    """The reference's default set (rdf_source.py:54-70): every node AND
+    edge property slot, as formatted CURIEs and expanded biolink IRIs.
+    Slots that are PREDICATES in the model (``same_as``) are excluded —
+    bmt's get_all_node_properties/get_all_edge_properties never return
+    predicate slots, which is why the reference's test3 turns
+    owl:equivalentClass triples into edges, not node attributes."""
+    out: set[str] = set()
+    for prop in SLOT_TYPES:
+        if prop in PREDICATES:
+            continue
+        out.add(f"biolink:{prop}")
+        out.add(BIOLINK_NS + prop)
+    return frozenset(out)

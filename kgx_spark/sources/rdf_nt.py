@@ -1,29 +1,62 @@
-"""N-Triples RDF source — distributed line-wise triple parse.
+"""N-Triples RDF source — distributed line-wise triple parse with the
+reference's full per-triple dispatch.
 
-Reference: kgx/source/rdf_source.py:128-355 — a custom streaming NT parser
+Reference: kgx/source/rdf_source.py:128-631 — a custom streaming NT parser
 with per-triple dispatch (node property vs edge vs reified-statement),
-CURIE contraction, and dereification of rdf:Statement stanzas.
+CURIE contraction, Biolink element resolution for predicates, and
+dereification of rdf:Statement / biolink:Association / OBAN:association
+stanzas into property-carrying edges.
 
 Spark design (no rdflib on executors):
 - `spark.read.text` → one regexp per line extracts (s, p, o, o_is_literal);
   NT is line-delimited so the scan parallelizes perfectly;
-- CURIE contraction via the generated longest-prefix-match expression;
-- dispatch is a partition of the triples DataFrame by predicate class:
-  * property predicates (literal objects or known node-property IRIs)
-    → groupBy(subject).pivot-style agg into node columns;
-  * rdf:subject/rdf:predicate/rdf:object stanzas → dereified into edges
-    (groupBy statement id, first() per role — rdf_source.py:330-355);
-  * everything else → plain edges.
+- per-PREDICATE decisions (Biolink element resolution, attribute key
+  mapping, node-prop-vs-edge dispatch, the add_edge predicate gate) are
+  computed once on the driver by `rdf_dispatch.process_predicate` — the
+  exact computation the reference LRU-caches per predicate
+  (rdf_source.py:571) — and broadcast-joined in; predicates are
+  vocabulary-bounded, so the collect is O(vocabulary), never O(rows);
+- reified statement subjects are found set-wise (any reification-role
+  predicate, or rdf:type to a reification class) — order-independent
+  where the reference is stream-order-dependent, same result on stanzas;
+- statement attrs and node attrs pivot via one groupBy each with
+  per-key conditional aggregates (column set = vocabulary-derived);
+- dereification (rdf_source.py:330-355): subject/object required,
+  predicate defaults biolink:related_to, relation defaults to the stated
+  predicate, the statement id and every other attribute (type,
+  has_evidence, ...) carry onto the edge;
+- edges dedupe on the reference's edge key (s, p, o)
+  (edge_cache keyed by generate_edge_key, rdf_source.py:529-553).
+
+Known divergences (deliberate):
+- plain-edge ids are sha2(edge key), not the raw 's-p-o' string
+  (functions/keys.py rationale); dereified edges keep the statement id,
+  as the reference does.
+- repeated single-valued attributes take the MIN value instead of the
+  reference's prepare_data_dict list-promotion (deterministic under
+  distribution; only reachable on malformed input).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kgx_spark.functions.curie import contract
+from kgx_spark.functions.curie import contract, curie_prefix, curie_reference, is_curie, is_iri
 from kgx_spark.functions.keys import generate_edge_identifiers
+from kgx_spark.operators.sanitize import sanitize_import
 from kgx_spark.operators.validate import validate_edges, validate_nodes
+from kgx_spark.sources.rdf_dispatch import (
+    ALLOWED_PREDICATE_PREFIXES,
+    DEFAULT_EDGE_PREDICATE,
+    MAPPING_INDEX,
+    NAME_INDEX,
+    RDF_NS,
+    REIFICATION_TYPES,
+    build_rdf_prefix_map,
+    default_node_property_predicates,
+    process_predicate,
+)
 
 # <s>|_:b <p> <o>|_:b|"literal"(^^<dt>|@lang)? .
 # groups: 1 s_iri, 2 s_bnode, 3 p, 4 o_iri, 5 o_bnode, 6 o_literal
@@ -32,21 +65,27 @@ _NT_RE = (
     r'(?:<([^>]+)>|(_:\S+)|"((?:[^"\\]|\\.)*)"(?:\^\^<[^>]+>|@[A-Za-z\-]+)?)\s*\.\s*$'
 )
 
-# node-property predicate IRIs → KGX property (rdf_source.py:64-90 property map)
-_NODE_PROPERTY_IRIS = {
-    "http://www.w3.org/2000/01/rdf-schema#label": "name",
-    "http://purl.org/dc/elements/1.1/description": "description",
-    "http://purl.org/dc/terms/description": "description",
-    "https://w3id.org/biolink/vocab/description": "description",
-    "https://w3id.org/biolink/vocab/name": "name",
-    "https://w3id.org/biolink/vocab/category": "category",
-    "https://w3id.org/biolink/vocab/provided_by": "provided_by",
-    "https://w3id.org/biolink/vocab/same_as": "same_as",
-    "http://www.w3.org/2002/07/owl#sameAs": "same_as",
-    "http://www.w3.org/2004/02/skos/core#exactMatch": "same_as",
-}
-_RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
-_MULTIVALUED_NODE_PROPS = {"category", "provided_by", "same_as"}
+#: is_property_multivalued (kgx/utils/rdf_utils.py:32-52 + the provenance
+#: update in kgx_utils.py:87-98) — drives whether an attribute pivots to a
+#: list or a scalar BEFORE sanitize applies the declared column types.
+_IS_MULTIVALUED = frozenset(
+    {
+        "synonym",
+        "exact_synonym",
+        "narrow_synonym",
+        "relation_synonym",
+        "broad_synonym",
+        "same_as",
+        "provided_by",
+        "category",
+        "publications",
+        "knowledge_source",
+        "aggregator_knowledge_source",
+        "supporting_data_source",
+    }
+)
+
+_DEREIFY_CORE = ("subject", "predicate", "object", "relation")
 
 
 def parse_ntriples(spark: SparkSession, path: str, include_bnodes: bool = False) -> DataFrame:
@@ -94,73 +133,214 @@ def parse_ntriples(spark: SparkSession, path: str, include_bnodes: bool = False)
 
 
 def read_ntriples(
-    spark: SparkSession, path: str, prefix_map: dict[str, str] | None = None, validate: bool = True
+    spark: SparkSession,
+    path: str,
+    prefix_map: dict[str, str] | None = None,
+    validate: bool = True,
+    node_property_predicates: set[str] | None = None,
+    predicate_mapping: dict[str, str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    return shape_triples(parse_ntriples(spark, path), prefix_map, validate)
+    return shape_triples(
+        parse_ntriples(spark, path),
+        prefix_map,
+        validate,
+        node_property_predicates,
+        predicate_mapping,
+    )
+
+
+def _resolve_stated_predicate(col: Column, pm: dict[str, str]) -> Column:
+    """add_edge's predicate resolution (rdf_source.py:495-527) as a column
+    expression, for DEREIFIED edges whose predicate is a stated VALUE
+    (data-dependent, so it cannot be resolved driver-side like plain-edge
+    predicates): contract, try the model by reference name then by
+    mapping, then gate non-{biolink,rdf,rdfs,skos,owl} CURIEs to
+    biolink:related_to."""
+    c = F.when(is_iri(col), contract(col, pm)).otherwise(col)
+    name_map = F.create_map(
+        *[F.lit(x) for name, (uri, _k) in sorted(NAME_INDEX.items()) for x in (name, uri)]
+    )
+    mapping_map = F.create_map(
+        *[
+            F.lit(x)
+            for m, name in sorted(MAPPING_INDEX.items())
+            if name in NAME_INDEX
+            for x in (m, NAME_INDEX[name][0])
+        ]
+    )
+    elem = F.coalesce(
+        F.element_at(name_map, F.coalesce(curie_reference(c), c)),
+        F.element_at(mapping_map, c),
+    )
+    gated = F.when(
+        is_curie(c) & ~curie_prefix(c).isin(*sorted(ALLOWED_PREDICATE_PREFIXES)),
+        F.lit(DEFAULT_EDGE_PREDICATE),
+    ).otherwise(c)
+    return F.coalesce(elem, gated)
+
+
+def _agg_for(key: str, value: Column, cond: Column) -> Column:
+    hit = F.when(cond, value)
+    if key in _IS_MULTIVALUED:
+        return F.array_sort(F.collect_set(hit)).alias(key)
+    return F.min(hit).alias(key)
 
 
 def shape_triples(
-    triples: DataFrame, prefix_map: dict[str, str] | None = None, validate: bool = True
+    triples: DataFrame,
+    prefix_map: dict[str, str] | None = None,
+    validate: bool = True,
+    node_property_predicates: set[str] | None = None,
+    predicate_mapping: dict[str, str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """triples(subject_iri, predicate_iri, object_iri, object_literal) →
-    (nodes, edges): the serialization-independent KGX shaping (property
-    dispatch, dereification, CURIE contraction) shared by the NT and Jelly
-    sources — both produce the same 4-column triple frame."""
-    prop_map = F.create_map(*[F.lit(x) for kv in _NODE_PROPERTY_IRIS.items() for x in kv])
-    t = triples.select(
-        contract(F.col("subject_iri"), prefix_map).alias("s"),
-        F.col("predicate_iri").alias("p_iri"),
-        contract(F.coalesce(F.col("object_iri"), F.col("object_literal")), prefix_map).alias("o"),
-        F.col("object_literal").isNotNull().alias("o_literal"),
-        F.element_at(prop_map, F.col("predicate_iri")).alias("node_prop"),
-    ).cache()
+    (nodes, edges): the serialization-independent KGX shaping shared by
+    the NT and Jelly sources — both produce the same 4-column frame."""
+    spark = triples.sparkSession
+    pm = build_rdf_prefix_map(prefix_map)
+    npp = set(default_node_property_predicates())
+    if node_property_predicates:
+        npp |= set(node_property_predicates)
 
-    # --- reified rdf:Statement stanzas → edges (rdf_source.py:330-355) ---
-    is_role = F.col("p_iri").isin(_RDF + "subject", _RDF + "predicate", _RDF + "object")
-    stmt = (
-        t.where(is_role | (F.col("p_iri") == _RDF + "type"))
-        .groupBy("s")
-        .agg(
-            F.max(F.when(F.col("p_iri") == _RDF + "subject", F.col("o"))).alias("subject"),
-            F.max(F.when(F.col("p_iri") == _RDF + "predicate", F.col("o"))).alias("predicate"),
-            F.max(F.when(F.col("p_iri") == _RDF + "object", F.col("o"))).alias("object"),
-        )
-        .where(F.col("subject").isNotNull() & F.col("predicate").isNotNull() & F.col("object").isNotNull())
-        .drop("s")
+    triples = triples.cache()
+
+    # --- vocabulary collect: one dispatch row per distinct predicate ---
+    pred_iris = [r[0] for r in triples.select("predicate_iri").distinct().collect()]
+    disp = {
+        p: process_predicate(p, pm, frozenset(npp), predicate_mapping) for p in pred_iris
+    }
+    disp_df = spark.createDataFrame(
+        [
+            (p, i.mapped_key, i.is_node_prop, i.reify_marker, i.edge_predicate, i.relation)
+            for p, i in sorted(disp.items())
+        ],
+        "predicate_iri string, mapped_key string, is_node_prop boolean, "
+        "reify_marker boolean, edge_predicate string, edge_relation string",
     )
-    stmt_subjects = t.where(is_role).select("s").distinct()
 
-    # --- node properties → one row per subject (pivot by known property) ---
-    props = t.where(F.col("node_prop").isNotNull())
-    aggs = []
-    for prop in sorted(set(_NODE_PROPERTY_IRIS.values())):
-        vals = F.collect_set(F.when(F.col("node_prop") == prop, F.col("o")))
-        if prop in _MULTIVALUED_NODE_PROPS:
-            aggs.append(F.array_sort(vals).alias(prop))
-        else:
-            aggs.append(F.array_min(vals).alias(prop))
-    prop_nodes = props.groupBy(F.col("s").alias("id")).agg(*aggs)
-
-    # --- plain edges: non-property, non-role, non-literal triples ---
-    plain = (
-        t.where(~F.col("o_literal") & F.col("node_prop").isNull() & ~is_role
-                & (F.col("p_iri") != _RDF + "type"))
-        .join(stmt_subjects, on="s", how="left_anti")  # skip statement stanza internals
+    t = (
+        triples.join(F.broadcast(disp_df), "predicate_iri", "left")
         .select(
-            F.col("s").alias("subject"),
-            contract(F.col("p_iri"), prefix_map).alias("predicate"),
-            F.col("o").alias("object"),
+            contract(F.col("subject_iri"), pm).alias("_s"),
+            F.col("predicate_iri"),
+            F.when(
+                F.col("object_iri").isNotNull(), contract(F.col("object_iri"), pm)
+            )
+            .otherwise(F.col("object_literal"))
+            .alias("_o"),
+            F.col("object_iri"),
+            F.col("object_literal").isNotNull().alias("_lit"),
+            "mapped_key",
+            "is_node_prop",
+            "reify_marker",
+            "edge_predicate",
+            "edge_relation",
+        )
+        # rdf_source.py:249-250: subjects contracting into the biolink /
+        # OBAN vocabularies are skipped outright
+        .where(~F.col("_s").startswith("biolink") & ~F.col("_s").startswith("OBAN"))
+    )
+
+    # --- reified statement subjects (set-wise; rdf_source.py:253-269) ---
+    is_marker = F.col("reify_marker") | (
+        (F.col("predicate_iri") == RDF_NS + "type")
+        & F.col("object_iri").isin(*sorted(REIFICATION_TYPES))
+    )
+    stmt_ids = (
+        t.where(is_marker).select(F.col("_s").alias("_stmt")).distinct()
+    )
+    t = t.join(
+        stmt_ids, t["_s"] == stmt_ids["_stmt"], "left"
+    ).withColumn("_is_stmt", F.col("_stmt").isNotNull()).drop("_stmt").cache()
+
+    # --- statement attrs → dereified edges (rdf_source.py:330-355) ---
+    stmt_keys = sorted(
+        {
+            r[0]
+            for r in t.where(F.col("_is_stmt")).select("mapped_key").distinct().collect()
+        }
+        - {"id"}
+    )
+    if stmt_keys:
+        stmt = (
+            t.where(F.col("_is_stmt"))
+            .groupBy(F.col("_s"))
+            .agg(*[_agg_for(k, F.col("_o"), F.col("mapped_key") == k) for k in stmt_keys])
+        )
+        for k in _DEREIFY_CORE:
+            if k not in stmt_keys:
+                stmt = stmt.withColumn(k, F.lit(None).cast("string"))
+        stated_pred = F.coalesce(F.col("predicate"), F.lit(DEFAULT_EDGE_PREDICATE))
+        dereified = (
+            stmt.where(F.col("subject").isNotNull() & F.col("object").isNotNull())
+            .withColumn("relation", F.coalesce(F.col("relation"), stated_pred))
+            .withColumn("predicate", _resolve_stated_predicate(stated_pred, pm))
+            .withColumnRenamed("_s", "id")
+        )
+    else:
+        dereified = spark.createDataFrame(
+            [], "subject string, predicate string, object string, relation string, id string"
+        )
+
+    # --- node attributes (non-statement; rdf_source.py:271-283) ---
+    node_rows = t.where(
+        ~F.col("_is_stmt") & (F.col("is_node_prop") | F.col("_lit"))
+    )
+    node_keys = sorted(
+        {r[0] for r in node_rows.select("mapped_key").distinct().collect()} - {"id"}
+    )
+    if node_keys:
+        prop_nodes = node_rows.groupBy(F.col("_s").alias("id")).agg(
+            *[_agg_for(k, F.col("_o"), F.col("mapped_key") == k) for k in node_keys]
+        )
+    else:
+        prop_nodes = spark.createDataFrame([], "id string")
+
+    # --- plain edges (rdf_source.py:284-285) ---
+    plain = (
+        t.where(~F.col("_is_stmt") & ~F.col("is_node_prop") & ~F.col("_lit"))
+        .select(
+            F.col("_s").alias("subject"),
+            F.col("edge_predicate").alias("predicate"),
+            F.col("_o").alias("object"),
+            F.col("edge_relation").alias("relation"),
         )
     )
-    edges = generate_edge_identifiers(plain.unionByName(stmt))
+    edges = plain.unionByName(dereified, allowMissingColumns=True)
+    # the reference's edge_cache is keyed by generate_edge_key(s, p, o)
+    # (rdf_source.py:529-553): same-key edges collapse
+    edges = edges.dropDuplicates(["subject", "predicate", "object"])
+    edges = generate_edge_identifiers(edges)
 
-    # node catalog = every mentioned entity ∪ property subjects
-    mentioned = (
+    # --- node catalog: attribute subjects ∪ edge endpoints -------------
+    # add_node (rdf_source.py:424-466) appends biolink:NamedThing to every
+    # node it creates — i.e. every edge ENDPOINT; attribute-only subjects
+    # keep their stated categories untouched.
+    endpoints = (
         edges.select(F.col("subject").alias("id"))
         .unionByName(edges.select(F.col("object").alias("id")))
         .distinct()
+        .withColumn("_endpoint", F.lit(True))
     )
-    nodes = mentioned.join(prop_nodes, on="id", how="full_outer")
+    nodes = prop_nodes.join(endpoints, on="id", how="full_outer")
+    named_thing = F.array(F.lit("biolink:NamedThing"))
+    if "category" in node_keys:
+        nodes = nodes.withColumn(
+            "category",
+            F.when(
+                F.col("_endpoint"),
+                F.array_union(F.coalesce(F.col("category"), F.array()), named_thing),
+            ).otherwise(F.col("category")),
+        )
+    else:
+        nodes = nodes.withColumn(
+            "category", F.when(F.col("_endpoint"), named_thing)
+        )
+    # wrap_slots: the reference's RDF path calls sanitize_import with NO
+    # list delimiter (rdf_source.py:186-221), so model-multivalued slots
+    # wrap rather than split
+    nodes = sanitize_import(nodes.drop("_endpoint"), wrap_slots=True)
+    edges = sanitize_import(edges, wrap_slots=True)
 
     if validate:
         nodes, _ = validate_nodes(nodes)

@@ -201,3 +201,127 @@ def test_obograph_goslim_edge_semantics(goslim):
     # non-IRI, non-special preds pass through as biolink:{pred}
     assert ("biolink:subPropertyOf", "subPropertyOf") in rel
     assert ("biolink:inverseOf", "inverseOf") in rel
+
+
+# ---------------------------------------------------------------- RDF / NT
+
+
+def test_rdf_nt1_dispatch(spark):
+    """test_rdf_source.py::test_read_nt1 — node-property dispatch, rdf:type
+    → `type`, NamedThing appended to edge endpoints, plain-edge predicate
+    resolution with relation = the predicate CURIE."""
+    from kgx_spark.sources.rdf_nt import read_ntriples
+
+    nodes, edges = read_ntriples(spark, f"{RES}/rdf/test1.nt")
+    n = _by_id(nodes)
+    assert len(n) == 2
+    n1 = n["ENSEMBL:ENSG0000000000001"]
+    assert n1["type"] == ["SO:0000704"]
+    assert len(n1["category"]) == 4
+    for c in ("biolink:Gene", "biolink:GenomicEntity", "biolink:NamedThing"):
+        assert c in n1["category"]
+    assert n1["name"] == "Test Gene 123"
+    assert n1["description"] == "This is a Test Gene 123"
+    assert "Test Dataset" in n1["provided_by"]
+    e = edges.collect()
+    assert len(e) == 1
+    e1 = e[0].asDict()
+    assert (e1["subject"], e1["predicate"], e1["object"]) == (
+        "ENSEMBL:ENSG0000000000001", "biolink:interacts_with", "ENSEMBL:ENSG0000000000002"
+    )
+    assert e1["relation"] == "biolink:interacts_with"
+
+
+def test_rdf_nt2_dereification(spark):
+    """test_read_nt3 (test2.nt) — rdf:Statement-style reified stanza keeps
+    its id and type, extra statement properties land on the edge."""
+    from kgx_spark.sources.rdf_nt import read_ntriples
+
+    node_property_predicates = {
+        f"https://www.example.org/UNKNOWN/{x}"
+        for x in ["fusion", "homology", "combined_score", "cooccurence"]
+    }
+    nodes, edges = read_ntriples(
+        spark, f"{RES}/rdf/test2.nt",
+        node_property_predicates=node_property_predicates,
+    )
+    assert nodes.count() == 4
+    e = {(r["subject"], r["object"]): r.asDict() for r in edges.collect()}
+    assert len(e) == 3
+    e1 = e[("ENSEMBL:ENSP0000000000001", "ENSEMBL:ENSP0000000000002")]
+    assert e1["predicate"] == "biolink:interacts_with"
+    assert e1["relation"] == "biolink:interacts_with"
+    assert e1["type"] == ["biolink:Association"]
+    assert e1["id"] == "urn:uuid:fcf76807-f909-4ccb-b40a-3b79b49aa518"
+    assert e1["fusion"] == "0"
+    assert e1["homology"] == "0.0"
+    assert e1["combined_score"] == "490.0"
+    assert e1["cooccurence"] == "332"
+
+
+def test_rdf_nt3_predicate_resolution(spark):
+    """test_read_nt4 (test3.nt) — owl:equivalentClass resolves to
+    biolink:same_as via model mappings, RO:0002606 to biolink:treats, the
+    duplicate triple collapses on the (s, p, o) edge key."""
+    from kgx_spark.sources.rdf_nt import read_ntriples
+
+    nodes, edges = read_ntriples(spark, f"{RES}/rdf/test3.nt")
+    assert nodes.count() == 7
+    assert edges.count() == 6
+    e = {(r["subject"], r["object"]): r.asDict() for r in edges.collect()}
+    e2 = e[("ENSEMBL:ENSP0000000000001", "UniProtKB:X0000001")]
+    assert e2["predicate"] == "biolink:same_as"
+    assert e2["relation"] == "owl:equivalentClass"
+    e3 = e[("ENSEMBL:ENSP0000000000001", "MONDO:0000001")]
+    assert e3["predicate"] == "biolink:treats"
+    assert e3["relation"] == "RO:0002606"
+
+
+def test_rdf_oban(spark):
+    """test_read_nt5 (oban-test.nt) — OBAN association dereification with a
+    user prefix map; endpoint-only nodes get exactly [biolink:NamedThing];
+    RO:0002558 keys via the curie label lookup to `has_evidence`."""
+    from kgx_spark.sources.rdf_nt import read_ntriples
+
+    prefix_map = {
+        "HGNC": "https://www.genenames.org/data/gene-symbol-report/#!/hgnc_id/",
+        "OMIM": "http://omim.org/entry/",
+    }
+    node_property_predicates = {
+        "http://purl.obolibrary.org/obo/RO_0002558",
+        "http://purl.org/dc/elements/1.1/source",
+        "https://monarchinitiative.org/frequencyOfPhenotype",
+    }
+    nodes, edges = read_ntriples(
+        spark, f"{RES}/rdf/oban-test.nt",
+        prefix_map=prefix_map,
+        node_property_predicates=node_property_predicates,
+    )
+    assert nodes.count() == 14
+    e = {(r["subject"], r["object"]): r.asDict() for r in edges.collect()}
+    assert len(e) == 7
+    assert _by_id(nodes)["HP:0000505"]["category"] == ["biolink:NamedThing"]
+    e1 = e[("OMIM:166400", "HP:0000006")]
+    assert e1["relation"] == "RO:0000091"
+    assert e1["type"] == ["OBAN:association"]
+    assert e1["has_evidence"] == ["ECO:0000501"]
+    e2 = e[("ORPHA:93262", "HP:0000505")]
+    assert e2["relation"] == "RO:0002200"
+    assert e2["frequencyOfPhenotype"] == "HP:0040283"
+
+
+def test_rdf_oban_predicate_mapping(spark):
+    """test_read_nt6 — predicate_mapping renames an unmapped predicate's
+    property."""
+    from kgx_spark.sources.rdf_nt import read_ntriples
+
+    nodes, edges = read_ntriples(
+        spark, f"{RES}/rdf/oban-test.nt",
+        prefix_map={"OMIM": "http://omim.org/entry/"},
+        node_property_predicates={"https://monarchinitiative.org/frequencyOfPhenotype"},
+        predicate_mapping={
+            "https://monarchinitiative.org/frequencyOfPhenotype": "frequency_of_phenotype"
+        },
+    )
+    e = {(r["subject"], r["object"]): r.asDict() for r in edges.collect()}
+    assert e[("ORPHA:93262", "HP:0000505")]["frequency_of_phenotype"] == "HP:0040283"
