@@ -2768,7 +2768,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_features": _MEDIA_FEATURES_SQL,
         "sssom_roundtrip": """
-            SELECT 'HGNC:' || p_partkey AS subject, 'skos:exactMatch' AS predicate,
+            SELECT 'HGNC:' || p_partkey AS subject, 'biolink:exact_match' AS predicate,
                    'MONDO:' || (p_partkey % 50) AS object,
                    'semapv:ManualMappingCuration' AS mapping_justification,
                    'infores:part-mappings' AS mapping_provider

@@ -70,9 +70,30 @@ def read_sssom(
 
     nodes = side("subject").unionByName(side("object")).distinct()
 
+    # predicate resolution (sssom_source.py:219-233): process_predicate,
+    # then element_uri → predicate → property_name — WITHOUT rdf_source's
+    # related_to prefix gate, so an unmapped CURIE passes through as-is.
+    # Distinct predicate_ids are a vocabulary-bounded collect (the SSSOM
+    # spec itself enumerates mapping predicates), resolved driver-side by
+    # the shared rdf_dispatch kernel and baked into one literal map.
+    from kgx_spark.sources.rdf_dispatch import build_rdf_prefix_map, process_predicate
+
+    pm = build_rdf_prefix_map(
+        {k: v for k, v in (meta.get("curie_map") or {}).items() if isinstance(v, str)}
+    )
+    pred_ids = [r[0] for r in rows.select("predicate_id").distinct().collect() if r[0]]
+    resolved = {}
+    for p in pred_ids:
+        info = process_predicate(p, pm)
+        resolved[p] = info.element_uri or info.predicate or info.property_name
+    if resolved:
+        pred_map = F.create_map(*[F.lit(x) for kv in sorted(resolved.items()) for x in kv])
+        pred_expr = F.coalesce(F.element_at(pred_map, F.col("predicate_id")), F.col("predicate_id"))
+    else:
+        pred_expr = F.col("predicate_id")
     edge_sel = [
         F.col("subject_id").alias("subject"),
-        F.col("predicate_id").alias("predicate"),
+        pred_expr.alias("predicate"),
         F.col("object_id").alias("object"),
     ]
     for c in sorted(cols - _CORE_MAPPING_COLS):

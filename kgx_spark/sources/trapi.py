@@ -74,18 +74,75 @@ _EDGE_VAL = T.StructType(
         T.StructField("qualifiers", _QUAL),
     ]
 )
-_KG = T.StructType(
-    [
-        T.StructField(
-            "knowledge_graph",
-            T.StructType(
-                [
-                    T.StructField("nodes", T.MapType(T.StringType(), _NODE_VAL)),
-                    T.StructField("edges", T.MapType(T.StringType(), _EDGE_VAL)),
-                ]
+def _kg_doc(body: T.StructType) -> T.StructType:
+    """Wrap a knowledge_graph body in BOTH the top-level and the
+    ``message.knowledge_graph`` nestings the reference probes
+    (trapi_source.py:118-127)."""
+    return T.StructType(
+        [
+            T.StructField("knowledge_graph", body),
+            T.StructField(
+                "message", T.StructType([T.StructField("knowledge_graph", body)])
             ),
-        )
+        ]
+    )
+
+
+_KG = _kg_doc(
+    T.StructType(
+        [
+            T.StructField("nodes", T.MapType(T.StringType(), _NODE_VAL)),
+            T.StructField("edges", T.MapType(T.StringType(), _EDGE_VAL)),
+        ]
+    )
+)
+
+# Legacy "Reasoner Std API" list shape (the reference's rsa_sample.json
+# path, trapi_source.py:131-141 + load_node:405-414 + load_edge:474-488):
+# nodes as a LIST with `type` → category, edges with source_id/target_id
+# and relation_label, predicate defaulting to biolink:related_to.
+_LEGACY_NODE = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("type", T.ArrayType(T.StringType())),
+        T.StructField("category", T.ArrayType(T.StringType())),
+        T.StructField("categories", T.ArrayType(T.StringType())),
+        T.StructField("attributes", _ATTR),
     ]
+)
+_LEGACY_EDGE = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("source_id", T.StringType()),
+        T.StructField("target_id", T.StringType()),
+        T.StructField("subject", T.StringType()),
+        T.StructField("object", T.StringType()),
+        T.StructField("predicate", T.StringType()),
+        # str or list in the wild — VariantType parses either
+        T.StructField("relation_label", T.VariantType()),
+        T.StructField("attributes", _ATTR),
+        T.StructField(
+            "sources",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("resource_id", T.StringType()),
+                        T.StructField("resource_role", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("qualifiers", _QUAL),
+    ]
+)
+_KG_LEGACY = _kg_doc(
+    T.StructType(
+        [
+            T.StructField("nodes", T.ArrayType(_LEGACY_NODE)),
+            T.StructField("edges", T.ArrayType(_LEGACY_EDGE)),
+        ]
+    )
 )
 
 
@@ -171,7 +228,8 @@ def _shape_edges(edges_struct: DataFrame) -> DataFrame:
     return edges_struct.select(
         *keep,
         F.col("e.subject").alias("subject"),
-        F.col("e.predicate").alias("predicate"),
+        # load_edge:487-488: a missing/empty predicate defaults
+        F.coalesce(F.nullif(F.col("e.predicate"), F.lit("")), F.lit("biolink:related_to")).alias("predicate"),
         F.col("e.object").alias("object"),
         primary.alias("primary_knowledge_source"),
         aggs.alias("aggregator_knowledge_source"),
@@ -190,17 +248,64 @@ def read_trapi(
     if format == "jsonl":
         return read_trapi_jsonl(spark, path, validate=validate)
     raw = spark.read.text(path, wholetext=True).select(
-        F.from_json("value", _KG).alias("doc")
+        F.from_json("value", _KG).alias("doc"),
+        F.from_json("value", _KG_LEGACY).alias("legacy"),
     )
-    nodes_map = raw.select(F.explode("doc.knowledge_graph.nodes").alias("id", "n"))
+
+    def kg(doc: str, field: str) -> F.Column:
+        # top-level knowledge_graph wins, message.knowledge_graph second
+        # (trapi_source.py:118-127)
+        return F.coalesce(
+            F.col(f"{doc}.knowledge_graph.{field}"),
+            F.col(f"{doc}.message.knowledge_graph.{field}"),
+        )
+
+    nodes_map = raw.select(F.explode(kg("doc", "nodes")).alias("id", "n"))
     nodes = nodes_map.select(
         "id",
         F.col("n.name").alias("name"),
         F.col("n.categories").alias("category"),
         _attrs_map(F.col("n.attributes")).alias("attributes"),
     )
-    edges_map = raw.select(F.explode("doc.knowledge_graph.edges").alias("key", "e"))
+    # legacy list-shaped nodes: type → category (load_node:405-414); the
+    # reference's id-keyed dict makes repeated ids collapse
+    legacy_nodes = (
+        raw.select(F.explode(kg("legacy", "nodes")).alias("n"))
+        .where(F.col("n.id").isNotNull())
+        .select(
+            F.col("n.id").alias("id"),
+            F.col("n.name").alias("name"),
+            F.coalesce(F.col("n.category"), F.col("n.categories"), F.col("n.type")).alias(
+                "category"
+            ),
+            _attrs_map(F.col("n.attributes")).alias("attributes"),
+        )
+        .dropDuplicates(["id"])
+    )
+    nodes = nodes.unionByName(legacy_nodes)
+
+    edges_map = raw.select(F.explode(kg("doc", "edges")).alias("key", "e"))
     edges = _shape_edges(edges_map).drop("key")
+    # legacy list-shaped edges: source_id/target_id/relation_label with the
+    # related_to default (load_edge:474-488)
+    rel_label = F.coalesce(
+        F.get(F.try_variant_get(F.col("le.relation_label"), "$", "array<string>"), 0),
+        F.try_variant_get(F.col("le.relation_label"), "$", "string"),
+    )
+    legacy_edges = _shape_edges(
+        raw.select(F.explode(kg("legacy", "edges")).alias("le")).select(
+            F.col("le.id").alias("id"),
+            F.struct(
+                F.coalesce(F.col("le.subject"), F.col("le.source_id")).alias("subject"),
+                F.coalesce(F.col("le.predicate"), rel_label).alias("predicate"),
+                F.coalesce(F.col("le.object"), F.col("le.target_id")).alias("object"),
+                F.col("le.attributes").alias("attributes"),
+                F.col("le.sources").alias("sources"),
+                F.col("le.qualifiers").alias("qualifiers"),
+            ).alias("e"),
+        )
+    )
+    edges = edges.unionByName(legacy_edges, allowMissingColumns=True)
     edges = generate_edge_identifiers(edges)
     nodes = sanitize_import(nodes)
     if validate:

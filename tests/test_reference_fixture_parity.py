@@ -325,3 +325,95 @@ def test_rdf_oban_predicate_mapping(spark):
     )
     e = {(r["subject"], r["object"]): r.asDict() for r in edges.collect()}
     assert e[("ORPHA:93262", "HP:0000505")]["frequency_of_phenotype"] == "HP:0040283"
+
+
+# ---------------------------------------------------------------- SSSOM
+
+
+def test_sssom_example1(spark):
+    """test_sssom_source.py::test_load1 — owl:equivalentClass resolves to
+    biolink:same_as; long-tail columns (confidence) ride on the edge."""
+    from kgx_spark.sources.sssom import read_sssom
+
+    nodes, edges, _ = read_sssom(spark, f"{RES}/sssom_example1.tsv")
+    assert nodes.select("id").distinct().count() == 18
+    e = {(r["subject"], r["object"]): r.asDict() for r in edges.collect()}
+    assert len(e) == 9
+    e1 = e[("MP:0012051", "HP:0001257")]
+    assert e1["predicate"] == "biolink:same_as"
+    assert e1["confidence"] == "1.0"
+
+
+def test_sssom_example2(spark):
+    """test_load2 — skos:exactMatch → biolink:exact_match; labels and
+    reviewer metadata on edges."""
+    from kgx_spark.sources.sssom import read_sssom
+
+    nodes, edges, _ = read_sssom(spark, f"{RES}/sssom_example2.tsv")
+    assert nodes.select("id").distinct().count() == 18
+    e = {(r["subject"], r["object"]): r.asDict() for r in edges.collect()}
+    assert len(e) == 9
+    e1 = e[("MP:0002152", "HP:0012443")]
+    assert e1["predicate"] == "biolink:exact_match"
+    assert e1["match_type"] == "SSSOMC:Lexical"
+    assert e1["reviewer_id"] == "orcid:0000-0000-0000-0000"
+    n = _by_id(nodes)
+    assert n["MP:0002152"]["name"] == "abnormal brain morphology"
+    assert n["HP:0012443"]["name"] == "Abnormality of brain morphology"
+
+
+def test_sssom_example3(spark):
+    """test_load3 — '#' YAML header metadata copied onto every edge;
+    curie_map itself must NOT become an edge column."""
+    from kgx_spark.sources.sssom import read_sssom
+
+    nodes, edges, meta = read_sssom(spark, f"{RES}/sssom_example3.tsv")
+    assert nodes.select("id").distinct().count() == 20
+    e = {(r["subject"], r["object"]): r.asDict() for r in edges.collect()}
+    assert len(e) == 10
+    e1 = e[("MA:0000168", "UBERON:0000955")]
+    assert e1["mapping_provider"] == "https://www.mousephenotype.org"
+    assert e1["mapping_set_group"] == "impc_mouse_morphology"
+    assert e1["mapping_set_id"] == "ma_uberon_impc_pat"
+    assert e1["mapping_set_title"].startswith("The IMPC Mouse Morphology Mappings")
+    assert e1["creator_id"] == "https://orcid.org/0000-0000-0000-0000"
+    assert e1["license"] == "https://creativecommons.org/publicdomain/zero/1.0/"
+    assert "curie_map" not in e1
+
+
+# ---------------------------------------------------------------- TRAPI
+
+
+def test_trapi_legacy_rsa_sample(spark):
+    """test_trapi_source.py::test_read_trapi_json1 — legacy Reasoner Std
+    API shape: list nodes with `type` → category, source_id/target_id
+    edges defaulting to biolink:related_to; duplicate node ids collapse."""
+    from kgx_spark.sources.trapi import read_trapi
+
+    nodes, edges = read_trapi(spark, f"{RES}/rsa_sample.json")
+    n = _by_id(nodes)
+    assert len(n) == 4
+    assert n["HGNC:11603"]["name"] == "TBX4"
+    assert n["HGNC:11603"]["category"] == ["biolink:Gene"]
+    e = {(r["subject"], r["object"]): r.asDict() for r in edges.collect()}
+    assert len(e) == 3
+    e1 = e[("HGNC:11603", "MONDO:0005002")]
+    assert e1["predicate"] == "biolink:related_to"
+    assert e1["id"] == "a8575c4e-61a6-428a-bf09-fcb3e8d1644d"
+
+
+def test_trapi_sample(spark):
+    """trapi_sample.json — TRAPI 1.5 list-form edges (no nodes section):
+    sources split into primary/aggregator knowledge sources, attributes
+    flattened, explicit predicates preserved."""
+    from kgx_spark.sources.trapi import read_trapi
+
+    nodes, edges = read_trapi(spark, f"{RES}/trapi_sample.json")
+    assert nodes.count() == 0
+    rows = [r.asDict() for r in edges.collect()]
+    assert len(rows) == 2
+    assert all(r["predicate"] == "biolink:genetically_associated_with" for r in rows)
+    assert any(r["primary_knowledge_source"] == "infores:uniprot" for r in rows)
+    assert any(
+        (r["aggregator_knowledge_source"] or []) == ["infores:diseases"] for r in rows
+    )

@@ -28,7 +28,9 @@ def test_sssom(spark, tmp_path):
     assert nodes.count() == 4  # 2 subjects + 2 objects
     assert edges.count() == 2
     e = edges.orderBy("subject").first()
-    assert (e["subject"], e["predicate"], e["object"]) == ("HP:0000175", "skos:exactMatch", "MP:0000111")
+    # skos:exactMatch resolves through the model mappings
+    # (sssom_source.py:219-233 via process_predicate)
+    assert (e["subject"], e["predicate"], e["object"]) == ("HP:0000175", "biolink:exact_match", "MP:0000111")
     # set-level metadata copied onto every edge (sssom_source.py:282-292)
     assert e["mapping_provider"] == "https://example.org"
 
