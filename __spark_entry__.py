@@ -292,8 +292,11 @@ def _election_classes() -> list[str]:
 
 def q_category_election(spark: SparkSession, sf: str) -> DataFrame:
     """Clique category election across the FULL model snapshot (133 classes;
-    clique_merge.py:388-499 semantics: most-specific category by ancestor
-    count, tie → alphabetical, stamped onto the leader)."""
+    clique_merge.py:388-499 semantics: most-specific category by reflexive
+    ancestor-closure size, tie → alphabetical, stamped onto the leader) PLUS
+    the reference's disjoint-anchor eviction (185-200): a member whose
+    category falls outside the clique category's closure is not merged and
+    survives as its own row."""
     cls = _election_classes()
     n = len(cls)
     cls_arr = F.array(*[F.lit(c) for c in cls])
@@ -1590,28 +1593,58 @@ _TRANSFORM_OPS_SQL = """
 
 
 def _election_oracle_sql() -> str:
-    """Closed-form oracle for the category election: the specificity depths
-    come from the SAME snapshot (biolink_model.py) the Spark side broadcasts,
-    re-materialized as a VALUES table so DuckDB replays the election."""
+    """Closed-form oracle for the category election + the reference
+    EVICTION semantics (clique_merge.py:443-472, 185-200): the clique
+    category is the heavier anchor (weight = reflexive ancestor-closure
+    size, tie → alphabetical); the OTHER node merges only when its anchor
+    lies inside the clique category's closure, else it is evicted and
+    survives as its own row. Closure/weight rows come from the SAME
+    snapshot (biolink_model.py) the Spark side broadcasts."""
     from kgx_spark.functions.biolink import CATEGORY_ANCESTORS
 
     cls = sorted(CATEGORY_ANCESTORS)
     n = len(cls)
-    rows = ", ".join(f"({i}, '{c}', {len(CATEGORY_ANCESTORS[c])})" for i, c in enumerate(cls))
+    rows = ", ".join(
+        f"({i}, '{c}', {1 + len(CATEGORY_ANCESTORS[c])})" for i, c in enumerate(cls)
+    )
+    closure_rows = ", ".join(
+        f"('{c}', '{a}')"
+        for c in cls
+        for a in [c, *CATEGORY_ANCESTORS[c]]
+    )
     return f"""
-        WITH cls AS (SELECT * FROM (VALUES {rows}) AS t(idx, category, depth)),
+        WITH cls AS (SELECT * FROM (VALUES {rows}) AS t(idx, category, w)),
+        closure AS (SELECT * FROM (VALUES {closure_rows}) AS t(category, anc)),
         pairs AS (
-            SELECT p_partkey AS k, c1.category AS c1, c1.depth AS d1,
-                   c2.category AS c2, c2.depth AS d2
+            SELECT p_partkey AS k, c1.category AS c1, c1.w AS w1,
+                   c2.category AS c2, c2.w AS w2
             FROM part
             JOIN cls c1 ON c1.idx = p_partkey % {n}
             JOIN cls c2 ON c2.idx = (p_partkey * 7) % {n}
+        ),
+        jud AS (
+            SELECT k, c1, c2,
+                   CASE WHEN w2 > w1 OR (w2 = w1 AND c2 < c1) THEN c2 ELSE c1 END AS cc
+            FROM pairs
+        ),
+        jud2 AS (
+            SELECT *,
+                   EXISTS (
+                       SELECT 1 FROM closure
+                       WHERE closure.category = jud.cc
+                         AND closure.anc = CASE WHEN jud.cc = jud.c1 THEN jud.c2 ELSE jud.c1 END
+                   ) AS merged
+            FROM jud
         )
         SELECT 'P:' || k AS id,
-               array_to_string(list_sort(list_distinct([c1,
-                   CASE WHEN d2 > d1 OR (d2 = d1 AND c2 < c1) THEN c2 ELSE c1 END])), '|') AS category,
-               'X:' || k AS same_as
-        FROM pairs
+               CASE WHEN merged
+                    THEN array_to_string(list_sort(list_distinct([c1, cc])), '|')
+                    ELSE c1 END AS category,
+               CASE WHEN merged THEN 'X:' || k ELSE '' END AS same_as
+        FROM jud2
+        UNION ALL
+        SELECT 'X:' || k AS id, c2 AS category, 'P:' || k AS same_as
+        FROM jud2 WHERE NOT merged
     """
 
 

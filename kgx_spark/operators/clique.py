@@ -258,11 +258,133 @@ def build_same_as_pairs(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     return out.where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
 
 
+def _closure_table(spark) -> DataFrame:
+    """(category, closure, w): self-inclusive ancestor closure (classes +
+    mixins) and its size — the reference's get_biolink_ancestors output
+    (reflexive, mixins included — clique_merge.py:615-618 weights by its
+    length). 133 rows; always broadcast."""
+    from kgx_spark.functions.biolink import CATEGORY_ANCESTORS
+
+    rows = [
+        (c, [c, *CATEGORY_ANCESTORS[c]], 1 + len(CATEGORY_ANCESTORS[c]))
+        for c in sorted(CATEGORY_ANCESTORS)
+    ]
+    return spark.createDataFrame(rows, "category string, closure array<string>, w int")
+
+
+def category_anchors(nodes: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+    """(id, anchor, invalid_biolink): the per-node category audit of the
+    reference's check_all_categories (clique_merge.py:558-598).
+
+    - ``anchor``: the node's most specific KNOWN non-mixin category (weight
+      = reflexive ancestor count; ties keep the first listed, matching the
+      reference's stable sort);
+    - ``invalid_biolink``: some OTHER known category falls outside the
+      anchor's ancestor closure (the disjoint-category signal that strict
+      mode evicts on, update_node_categories:452-455);
+    - unknown or mixin categories are the reference's `invalid_categories`
+      — annotated there, never evicting, so simply ignored here;
+    - a node with NO category borrows its most specific same_as-neighbor
+      anchor (get_category_from_equivalence:623-660 takes the first
+      neighbor's; most-specific is the deterministic stand-in).
+
+    Shaped as explode → broadcast-join against the 133-row closure table →
+    one groupBy(id): the model lookup stays a broadcast hash join, never a
+    per-row literal-map evaluation.
+    """
+    ct = _closure_table(nodes.sparkSession)
+    rows = nodes.select("id", F.posexplode_outer(F.coalesce("category", F.array())))
+    j = rows.join(F.broadcast(ct), rows["col"] == ct["category"], "left")
+    per_id = (
+        j.groupBy("id")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("w").isNotNull(),
+                    F.struct(
+                        (-F.col("w")).alias("nw"),
+                        F.col("pos").alias("p"),
+                        F.col("col").alias("a"),
+                    ),
+                )
+            ).alias("_best"),
+            F.collect_list(F.when(F.col("w").isNotNull(), F.col("col"))).alias("_valid"),
+        )
+        .select("id", F.col("_best").getField("a").alias("anchor"), "_valid")
+    )
+    out = (
+        per_id.join(
+            F.broadcast(ct.select(F.col("category").alias("anchor"), F.col("closure"))),
+            "anchor",
+            "left",
+        )
+        .select(
+            "id",
+            "anchor",
+            F.exists("_valid", lambda v: ~F.array_contains(F.col("closure"), v)).alias(
+                "invalid_biolink"
+            ),
+        )
+    )
+    if pairs is not None:
+        # borrow for category-less nodes, from direct same_as neighbors
+        nbrs = pairs.select(F.col("src").alias("id"), F.col("dst").alias("nbr")).unionByName(
+            pairs.select(F.col("dst").alias("id"), F.col("src").alias("nbr"))
+        )
+        borrow = (
+            out.where(F.col("anchor").isNull())
+            .select("id")
+            .join(nbrs, "id")
+            .join(
+                out.select(F.col("id").alias("nbr"), F.col("anchor").alias("_na")),
+                "nbr",
+            )
+            .where(F.col("_na").isNotNull())
+            .join(
+                F.broadcast(ct.select(F.col("category").alias("_na"), F.col("w"))),
+                "_na",
+            )
+            .groupBy("id")
+            .agg(
+                F.min(F.struct((-F.col("w")).alias("nw"), F.col("_na").alias("a")))
+                .getField("a")
+                .alias("_borrowed")
+            )
+        )
+        out = out.join(borrow, "id", "left").withColumn(
+            "anchor", F.coalesce("anchor", "_borrowed")
+        ).drop("_borrowed")
+    return out
+
+
+def categories_pairwise_comparable(nodes: DataFrame) -> bool:
+    """Driver-side conflict pre-screen: collect the DISTINCT category
+    vocabulary (one partial-agg scan — categories are vocabulary, not data)
+    and check every KNOWN pair is ancestor-comparable. When true, no node
+    and no clique can conflict, so the whole category audit is skipped —
+    the typical homogeneous-graph fast path."""
+    from kgx_spark.functions.biolink import CATEGORY_ANCESTORS
+
+    vals = [
+        r[0]
+        for r in nodes.select(F.explode_outer("category").alias("c")).distinct().collect()
+        if r[0]
+    ]
+    known = [c for c in vals if c in CATEGORY_ANCESTORS]
+    closures = {c: {c, *CATEGORY_ANCESTORS[c]} for c in known}
+    return all(
+        a in closures[b] or b in closures[a]
+        for i, a in enumerate(known)
+        for b in known[i + 1 :]
+    )
+
+
 def elect_leaders(
     members: DataFrame,
     nodes: DataFrame,
     prefix_priority: list[str] | None = None,
     leader_annotation: str | None = None,
+    component_priority: DataFrame | None = None,
 ) -> DataFrame:
     """members(id, component) → (id, component, leader) per clique.
 
@@ -278,14 +400,25 @@ def elect_leaders(
         ranked = ranked.withColumn("_ann", F.lit(False))
 
     prefix = F.split_part("id", F.lit(":"), F.lit(1))
-    if prefix_priority:
+    if component_priority is not None:
+        # per-clique priority list, selected by the clique's category
+        # (elect_leader:214-228 — ppm[clique_category]; cliques whose
+        # category has no entry fall through to the alphabetical sort)
+        from kgx_spark.utils import conditional_broadcast
+
+        ranked = ranked.join(conditional_broadcast(component_priority), "component", "left")
+        pos = F.array_position(F.coalesce(F.col("_priority"), F.array()), prefix)
+        ranked = ranked.withColumn(
+            "_rank", F.when(pos > 0, pos).otherwise(F.lit(2**31)).cast("long")
+        ).drop("_priority")
+    elif prefix_priority:
         rank_expr = None
         for i, p in enumerate(prefix_priority):
             rank_expr = F.when(prefix == p, i) if rank_expr is None else rank_expr.when(prefix == p, i)
-        rank_expr = rank_expr.otherwise(len(prefix_priority))
+        ranked = ranked.withColumn("_rank", rank_expr.otherwise(len(prefix_priority)))
     else:
-        rank_expr = F.lit(0)
-    ranked = ranked.withColumn("_rank", rank_expr).withColumn("_prefix", prefix)
+        ranked = ranked.withColumn("_rank", F.lit(0))
+    ranked = ranked.withColumn("_prefix", prefix)
 
     w = Window.partitionBy("component").orderBy(
         F.col("_ann").desc(), F.col("_rank").asc(), F.col("_prefix").asc(), F.col("id").asc()
@@ -329,41 +462,175 @@ def clique_merge(
     leader_annotation: str | None = None,
     update_categories: bool = False,
     dedupe_edges: bool = True,
-    strict: bool = False,
+    strict: bool = True,
+    prefix_prioritization_map: dict[str, list[str]] | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """→ (canonical nodes, re-pointed edges, member→leader mapping).
 
     Mirrors clique_merge.py:28-86 orchestration:
-    pairs → components → leader election → edge re-pointing
-    (with `_original_subject`/`_original_object` stamps — 303-347) →
-    collapsed-key edge consolidation (consolidate_edges re-adds by edge key,
-    252-385 — ``dedupe_edges=False`` for callers that run merge_edges next) →
-    member nodes folded into the leader (same_as union — 349-385) →
-    self-loop subclass_of edges dropped (365-371).
-    """
-    pairs = build_same_as_pairs(nodes, edges)
-    if strict and "category" in nodes.columns:
-        # strict mode (clique_merge.py:443-455 '_excluded_from_clique'): a
-        # node carrying a biolink-SHAPED but UNKNOWN category is excluded
-        # from clique formation entirely — an anti-join drops its pairs.
-        from kgx_spark.functions.biolink import KNOWN_CLASSES
+    pairs → components → category audit + eviction → leader election →
+    edge re-pointing (with `_original_subject`/`_original_object` stamps —
+    303-347) → collapsed-key edge consolidation (consolidate_edges re-adds
+    by edge key, 252-385 — ``dedupe_edges=False`` for callers that run
+    merge_edges next) → member nodes folded into the leader (same_as
+    union — 349-385) → self-loop subclass_of edges dropped (365-371).
 
-        known = F.array(*[F.lit(c) for c in sorted(KNOWN_CLASSES)])
-        excluded = nodes.where(
-            F.exists(
-                "category",
-                lambda c: c.rlike(r"^biolink:[A-Z][a-zA-Z]*$") & ~F.array_contains(known, c),
-            )
-        ).select("id")
-        pairs = (
-            pairs.join(excluded.withColumnRenamed("id", "src"), on="src", how="left_anti")
-            .join(excluded.withColumnRenamed("id", "dst"), on="dst", how="left_anti")
-        )
+    Category eviction (update_node_categories:443-472 +
+    elect_leader:185-200, both parity-pinned by the ported reference
+    scenarios in tests/test_clique_reference_scenarios.py):
+    - with ``strict`` (the reference default), a node whose KNOWN
+      categories conflict (one falls outside its anchor's ancestor
+      closure, e.g. Gene + Disease) is evicted from its clique;
+    - REGARDLESS of strict, a node whose anchor lies outside the clique
+      category's closure is evicted;
+    - eviction respects connectivity the way the reference's
+      clique_graph.remove_node does: components are RECOMPUTED over the
+      surviving pairs (only within affected cliques — a bounded second
+      label-propagation input), and only the fragment containing the
+      elected leader merges; orphaned fragments stay untouched.
+    ``prefix_prioritization_map`` selects the priority list by clique
+    category (get_prefix_prioritization_map semantics); the flat
+    ``prefix_priority`` list remains as the category-independent form.
+    """
+    from kgx_spark.utils import conditional_broadcast
+
+    pairs = build_same_as_pairs(nodes, edges)
     labels, _ = connected_components(pairs)
-    leader_map = elect_leaders(labels, nodes, prefix_priority, leader_annotation)
-    mapping = (
-        leader_map.select("id", "leader").where(F.col("id") != F.col("leader")).localCheckpoint()
+    members = labels
+    comp_priority = None
+    fragment_filter = None
+    if "category" in nodes.columns:
+        # layered fast path. Layer 1: driver-side pairwise comparability of
+        # the distinct category vocabulary — when every known pair is
+        # ancestor-comparable, no node and no clique can conflict and the
+        # audit is skipped entirely (borrowed anchors are copies of member
+        # anchors, so they can never introduce a conflict on their own).
+        # Only decisive when no ppm is given — ppm requires per-clique
+        # categories regardless.
+        need_audit = bool(prefix_prioritization_map) or not categories_pairwise_comparable(
+            nodes
+        )
+        if need_audit:
+            # Layer 2: per-clique stats over ONE member-restricted scan;
+            # eviction can only fire in cliques with >1 distinct anchor or
+            # an invalid-biolink member.
+            ct = _closure_table(nodes.sparkSession)
+            member_cats = labels.join(
+                nodes.select("id", "category"), "id", "left"
+            ).localCheckpoint()
+            la = member_cats.select("id", "component").join(
+                category_anchors(member_cats.select("id", "category")), "id", "left"
+            ).join(F.broadcast(ct.select(F.col("category").alias("anchor"), "w")), "anchor", "left")
+            stats = la.groupBy("component").agg(
+                # min() skips null STRUCTS, so null anchors are guarded out
+                # (a bare struct(null, null) would sort before everything)
+                F.min(
+                    F.when(
+                        F.col("anchor").isNotNull(),
+                        F.struct((-F.col("w")).alias("nw"), F.col("anchor").alias("a")),
+                    )
+                )
+                .getField("a")
+                .alias("clique_category"),
+                F.count_distinct(F.col("anchor")).alias("_n_anchor"),
+                F.max(F.coalesce("invalid_biolink", F.lit(False))).alias("_any_invalid"),
+            )
+            if prefix_prioritization_map:
+                ppm = F.create_map(
+                    *[
+                        F.lit(x)
+                        for cat, pri in sorted(prefix_prioritization_map.items())
+                        for x in (cat, F.array(*[F.lit(p) for p in pri]))
+                    ]
+                )
+                stats = stats.localCheckpoint()
+                comp_priority = stats.select(
+                    "component", F.element_at(ppm, F.col("clique_category")).alias("_priority")
+                )
+            cand = (
+                stats.where((F.col("_n_anchor") > 1) | F.col("_any_invalid"))
+                .select("component", "clique_category")
+                .localCheckpoint()
+            )
+        if need_audit and not cand.isEmpty():
+            # Layer 3: full audit — with neighbor-borrowed anchors — over
+            # the candidate cliques only.
+            pairs = pairs.localCheckpoint()
+            cand_members = member_cats.join(
+                conditional_broadcast(cand.select("component")), "component", "left_semi"
+            )
+            anchors_b = category_anchors(cand_members.select("id", "category"), pairs)
+            cand_closure = cand.join(
+                F.broadcast(
+                    ct.select(F.col("category").alias("clique_category"), "closure")
+                ),
+                "clique_category",
+                "left",
+            )
+            audited = (
+                cand_members.select("id", "component")
+                .join(anchors_b, "id", "left")
+                .join(conditional_broadcast(cand_closure), "component")
+                .withColumn(
+                    "_evict",
+                    (F.lit(bool(strict)) & F.coalesce("invalid_biolink", F.lit(False)))
+                    | (
+                        F.col("anchor").isNotNull()
+                        & ~F.array_contains(F.col("closure"), F.col("anchor"))
+                    ),
+                )
+            )
+            evicted = audited.where(F.col("_evict")).select("id", "component").localCheckpoint()
+            members = labels.join(evicted.select("id"), "id", "left_anti")
+            # recompute connectivity inside cliques that lost a member: only
+            # the fragment containing the leader merges
+            # (consolidate_edges:275-287 iterates post-removal strongly-
+            # connected components). The second label propagation sees ONLY
+            # the affected cliques' surviving pairs.
+            affected = evicted.select("component").distinct().localCheckpoint()
+            if not affected.isEmpty():
+                survivors = members.join(affected, "component", "left_semi").select("id")
+                pairs_f = (
+                    pairs.join(survivors.withColumnRenamed("id", "src"), "src", "left_semi")
+                    .join(survivors.withColumnRenamed("id", "dst"), "dst", "left_semi")
+                    .join(
+                        labels.select(F.col("id").alias("src"), F.col("component").alias("_c")),
+                        "src",
+                    )
+                    .join(affected.withColumnRenamed("component", "_c"), "_c", "left_semi")
+                    .drop("_c")
+                )
+                frag_labels, _ = connected_components(pairs_f)
+                fragment_filter = (affected, frag_labels)
+    leader_map = elect_leaders(
+        members, nodes, prefix_priority, leader_annotation, comp_priority
     )
+    mapping = leader_map.select("id", "component", "leader").where(
+        F.col("id") != F.col("leader")
+    )
+    if fragment_filter is not None:
+        affected, frag_labels = fragment_filter
+        frag = frag_labels.select("id", F.col("component").alias("_frag"))
+        mapping = (
+            mapping.join(affected.withColumn("_affected", F.lit(True)), "component", "left")
+            .join(frag, "id", "left")
+            .join(
+                frag.select(F.col("id").alias("leader"), F.col("_frag").alias("_leader_frag")),
+                "leader",
+                "left",
+            )
+            .where(
+                F.col("_affected").isNull()
+                | (
+                    F.col("_frag").isNotNull()
+                    & (F.col("_frag") == F.col("_leader_frag"))
+                )
+            )
+            .select("id", "leader")
+        )
+    else:
+        mapping = mapping.select("id", "leader")
+    mapping = mapping.localCheckpoint()
 
     # --- re-point edges (two joins against the member→leader map). The map
     # is usually clique-sized (≪ nodes), but a pathological same_as universe

@@ -119,24 +119,30 @@ def test_clique_merge_alphabetical_fallback(spark, clique_graph):
     assert "ENSEMBL:1" in ids  # 'ENSEMBL' < 'HGNC' < 'NCBIGene'
 
 
-def test_strict_mode_excludes_invalid_category_nodes(spark):
-    """clique_merge.py:443-455: strict mode marks nodes with biolink-shaped
-    but unknown categories '_excluded_from_clique' — they must not merge."""
+def test_strict_mode_eviction_semantics(spark):
+    """Reference eviction semantics (clique_merge.py:443-472 + 185-200):
+    an UNKNOWN category is only annotated (`invalid_categories`) — never
+    evicts; a node with CONFLICTING known categories (Gene + Disease)
+    evicts under strict; a node whose anchor is DISJOINT from the clique
+    category evicts regardless of strict."""
     from kgx_spark.operators.clique import clique_merge
-    import pyspark.sql.functions as F
 
     nodes = spark.createDataFrame(
         [
             ("HGNC:1", ["biolink:Gene"], ["NCBIGene:1"]),
             ("NCBIGene:1", ["biolink:Gene"], None),
-            ("BAD:1", ["biolink:Zebra"], ["HGNC:1"]),  # unknown class
+            ("BAD:1", ["biolink:Zebra"], ["HGNC:1"]),  # unknown class — annotated only
+            ("CONF:1", ["biolink:Gene", "biolink:Disease"], ["HGNC:1"]),  # conflicting
+            ("DISJ:1", ["biolink:Disease"], ["HGNC:1"]),  # disjoint anchor
         ],
         "id string, category array<string>, same_as array<string>",
     )
     edges = spark.createDataFrame([], "subject string, predicate string, object string")
     n, _, _ = clique_merge(nodes, edges, prefix_priority=["HGNC"], strict=True)
     ids = {r["id"] for r in n.collect()}
-    # HGNC:1 absorbs NCBIGene:1; BAD:1 is excluded and survives standalone
-    assert ids == {"HGNC:1", "BAD:1"}
+    # BAD:1 merges (unknown cat borrows neighbor anchor); CONF:1 evicted
+    # (strict invalid-biolink); DISJ:1 evicted (anchor outside clique closure)
+    assert ids == {"HGNC:1", "CONF:1", "DISJ:1"}
     n2, _, _ = clique_merge(nodes, edges, prefix_priority=["HGNC"], strict=False)
-    assert {r["id"] for r in n2.collect()} == {"HGNC:1"}  # non-strict merges all
+    # lenient keeps CONF:1 (anchor Gene fits); DISJ:1 still evicted
+    assert {r["id"] for r in n2.collect()} == {"HGNC:1", "DISJ:1"}
