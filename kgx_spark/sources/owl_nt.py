@@ -24,7 +24,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kgx_spark.functions.curie import contract
-from kgx_spark.sources.rdf_nt import parse_ntriples
+from kgx_spark.functions.keys import generate_edge_identifiers
+from kgx_spark.sources.rdf_dispatch import build_rdf_prefix_map
+from kgx_spark.sources.rdf_nt import parse_ntriples, shape_triples
 
 _RDFS_SUBCLASS = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
 _OWL = "http://www.w3.org/2002/07/owl#"
@@ -86,23 +88,33 @@ def unpack_owl_edges(
     named_subj = ~F.col("subject_iri").startswith("_:")
     named_obj = ~F.col("object_iri").startswith("_:")
 
+    from kgx_spark.sources.rdf_nt import _resolve_stated_predicate
+
+    pm = build_rdf_prefix_map(prefix_map)
     sub = triples.where((F.col("predicate_iri") == _RDFS_SUBCLASS) & named_subj)
     plain = sub.where(named_obj).select(
-        contract(F.col("subject_iri"), prefix_map).alias("subject"),
+        contract(F.col("subject_iri"), pm).alias("subject"),
         F.lit("biolink:subclass_of").alias("predicate"),
-        contract(F.col("object_iri"), prefix_map).alias("object"),
+        contract(F.col("object_iri"), pm).alias("object"),
+        F.lit("rdfs:subClassOf").alias("relation"),
         F.lit(None).cast("string").alias("logical_interpretation"),
         F.lit(None).cast("string").alias("category"),
     )
 
+    on_prop = contract(F.col("on_property"), pm)
     restricted = (
         sub.where(~named_obj)
         .select("subject_iri", F.col("object_iri").alias("bnode"))
         .join(restriction_table(triples), on="bnode")
         .select(
-            contract(F.col("subject_iri"), prefix_map).alias("subject"),
-            contract(F.col("on_property"), prefix_map).alias("predicate"),
-            contract(F.col("filler"), prefix_map).alias("object"),
+            contract(F.col("subject_iri"), pm).alias("subject"),
+            # the reference reifies then DEREIFIES these through add_edge,
+            # which resolves the property against the model and gates
+            # unknown prefixes to related_to (rdf_source.py:495-527); the
+            # raw CURIE rides on `relation`
+            _resolve_stated_predicate(on_prop, pm).alias("predicate"),
+            contract(F.col("filler"), pm).alias("object"),
+            on_prop.alias("relation"),
             F.col("logical_interpretation"),
             F.lit("biolink:Association").alias("category"),
         )
@@ -111,9 +123,10 @@ def unpack_owl_edges(
     equiv = triples.where(
         (F.col("predicate_iri") == _EQUIV_CLASS) & named_subj & named_obj
     ).select(
-        contract(F.col("subject_iri"), prefix_map).alias("subject"),
+        contract(F.col("subject_iri"), pm).alias("subject"),
         F.lit("biolink:same_as").alias("predicate"),
-        contract(F.col("object_iri"), prefix_map).alias("object"),
+        contract(F.col("object_iri"), pm).alias("object"),
+        F.lit("owl:equivalentClass").alias("relation"),
         F.lit(None).cast("string").alias("logical_interpretation"),
         F.lit(None).cast("string").alias("category"),
     )
@@ -136,26 +149,43 @@ def read_owl_nt(
 ) -> tuple[DataFrame, DataFrame]:
     """NT-serialized OWL → (nodes, edges) with restrictions unpacked.
 
-    Node catalog = every named class mentioned by an emitted edge, with
-    rdfs:label as ``name`` when present (owl_source.py caches node data the
-    same way via its triple() calls).
+    Structural triples (subClassOf incl blank-node restrictions,
+    equivalentClass) go through `unpack_owl_edges`; every OTHER
+    named-subject triple goes through the SAME per-predicate dispatch as
+    the N-Triples source (owl_source.py:173-183's catch-all loop feeds
+    RdfSource.triple), so annotation properties land as node attributes
+    under the reference's key names (has_exact_synonym, has_alternative_id,
+    comment, description via IAO:0000115, ...) and object-valued
+    non-structural predicates become edges.
     """
-    triples = parse_ntriples(spark, path, include_bnodes=True)
-    edges = unpack_owl_edges(triples, prefix_map)
-    labels = (
-        triples.where(
-            (F.col("predicate_iri") == "http://www.w3.org/2000/01/rdf-schema#label")
-            & ~F.col("subject_iri").startswith("_:")
-        )
-        .groupBy(contract(F.col("subject_iri"), prefix_map).alias("id"))
-        .agg(F.min("object_literal").alias("name"))
+    triples = parse_ntriples(spark, path, include_bnodes=True).cache()
+    struct_edges = unpack_owl_edges(triples, prefix_map)
+
+    named_subj = ~F.col("subject_iri").startswith("_:")
+    named_obj = F.col("object_iri").isNull() | ~F.col("object_iri").startswith("_:")
+    rest = triples.where(
+        named_subj
+        & named_obj
+        & ~F.col("predicate_iri").isin(_RDFS_SUBCLASS, _EQUIV_CLASS)
     )
+    attr_nodes, attr_edges = shape_triples(rest, prefix_map, validate=False)
+
+    edges = attr_edges.unionByName(struct_edges, allowMissingColumns=True)
+    edges = generate_edge_identifiers(edges)
+
     mentioned = (
-        edges.select(F.col("subject").alias("id"))
-        .unionByName(edges.select(F.col("object").alias("id")))
+        struct_edges.select(F.col("subject").alias("id"))
+        .unionByName(struct_edges.select(F.col("object").alias("id")))
         .distinct()
     )
-    nodes = mentioned.join(labels, on="id", how="left").withColumn(
-        "category", F.array(F.lit("biolink:NamedThing"))
-    )
+    nodes = attr_nodes.join(mentioned.withColumn("_m", F.lit(True)), "id", "full_outer")
+    # endpoints the attribute pass never saw still get the NamedThing
+    # default (add_node, rdf_source.py:424-466)
+    nodes = nodes.withColumn(
+        "category",
+        F.when(
+            F.col("_m") & (F.col("category").isNull() | (F.size("category") == 0)),
+            F.array(F.lit("biolink:NamedThing")),
+        ).otherwise(F.col("category")),
+    ).drop("_m")
     return nodes, edges

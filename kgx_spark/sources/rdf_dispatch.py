@@ -74,6 +74,7 @@ RDF_CONTEXT_EXTRAS: dict[str, str] = {
     "skos": "http://www.w3.org/2004/02/skos/core#",
     "dct": "http://purl.org/dc/terms/",
     "dc": "http://purl.org/dc/elements/1.1/",
+    "oboInOwl": "http://www.geneontology.org/formats/oboInOwl#",
 }
 
 #: The reference CurieLookupService map: its two built-in entries
@@ -93,6 +94,17 @@ CURIE_LOOKUP: dict[str, str] = {
     "RO:0002212": "negatively_regulates",
     "RO:0002213": "positively_regulates",
     "RO:0002558": "has_evidence",
+    # oboInOwl annotation-property labels (rdfs:labels declared by the
+    # public oboInOwl vocabulary that RO/BFO re-export — the reference's
+    # OwlSource node keys like `has_exact_synonym` come from exactly this
+    # lookup, test_owl_source.py:29-51)
+    "oboInOwl:hasExactSynonym": "has_exact_synonym",
+    "oboInOwl:hasRelatedSynonym": "has_related_synonym",
+    "oboInOwl:hasNarrowSynonym": "has_narrow_synonym",
+    "oboInOwl:hasBroadSynonym": "has_broad_synonym",
+    "oboInOwl:hasAlternativeId": "has_alternative_id",
+    "oboInOwl:hasOBONamespace": "has_obo_namespace",
+    "oboInOwl:inSubset": "in_subset",
 }
 
 #: Published biolink-model slot/class ``mappings`` (the data behind the
@@ -113,6 +125,7 @@ SLOT_MAPPINGS: dict[str, str] = {
     # node-property slots
     "rdfs:label": "name",
     "dct:description": "description",
+    "IAO:0000115": "description",
     "skos:altLabel": "synonym",
     "oboInOwl:hasDbXref": "xref",
     # predicate slots
@@ -143,6 +156,7 @@ _MAPPING_NS = {
     "OBAN": OBAN_NS,
     "RO": "http://purl.obolibrary.org/obo/RO_",
     "BFO": "http://purl.obolibrary.org/obo/BFO_",
+    "IAO": "http://purl.obolibrary.org/obo/IAO_",
 }
 
 #: Edge-predicate prefixes allowed through the add_edge gate

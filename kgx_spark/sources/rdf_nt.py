@@ -82,6 +82,17 @@ _IS_MULTIVALUED = frozenset(
         "knowledge_source",
         "aggregator_knowledge_source",
         "supporting_data_source",
+        # not in the reference's static map, but its repeated-key promotion
+        # (prepare_data_dict:555-650) makes these lists in practice on any
+        # real ontology — a static column type must pick the list side or
+        # silently drop all but one value
+        "has_exact_synonym",
+        "has_related_synonym",
+        "has_narrow_synonym",
+        "has_broad_synonym",
+        "has_alternative_id",
+        "in_subset",
+        "xref",
     }
 )
 

@@ -81,12 +81,17 @@ def test_owl_restriction_unpacking(spark, tmp_path):
 
     plain = by_key[("GO:2", "biolink:subclass_of", "GO:1")]
     assert plain["logical_interpretation"] is None
+    assert plain["relation"] == "rdfs:subClassOf"
 
-    some = by_key[("GO:2", "BFO:0000050", "GO:3")]
+    # the reference reifies-then-dereifies restrictions, so the property
+    # resolves through the model (BFO:0000050 -> part_of) with the raw
+    # CURIE on relation (rdf_source.py:495-527)
+    some = by_key[("GO:2", "biolink:part_of", "GO:3")]
     assert some["logical_interpretation"] == "OWLSTAR:AllSomeInterpretation"
     assert some["category"] == "biolink:Association"
+    assert some["relation"] == "BFO:0000050"
 
-    only = by_key[("GO:4", "BFO:0000050", "GO:1")]
+    only = by_key[("GO:4", "biolink:part_of", "GO:1")]
     assert only["logical_interpretation"] == "OWLSTAR:AllOnlyInterpretation"
 
     equiv = by_key[("GO:2", "biolink:same_as", "GO:9")]

@@ -417,3 +417,35 @@ def test_trapi_sample(spark):
     assert any(
         (r["aggregator_knowledge_source"] or []) == ["infores:diseases"] for r in rows
     )
+
+
+# ---------------------------------------------------------------- OWL
+
+
+def test_owl_goslim(spark):
+    """test_owl_source.py::test_read_owl1 — annotation properties under the
+    reference's key names, IAO:0000115 → description, subclass edges with
+    rdfs:subClassOf relations."""
+    from kgx_spark.sources.owl_source import read_owl
+
+    nodes, edges = read_owl(spark, f"{RES}/goslim_generic.owl")
+    n = _by_id(nodes)
+
+    n1 = n["GO:0008150"]
+    assert n1["name"] == "biological_process"
+    assert n1["description"]
+    assert n1["comment"]
+    assert "physiological process" in n1["has_exact_synonym"]
+    assert n1["has_alternative_id"]
+
+    n2 = n["GO:0003674"]
+    assert n2["has_exact_synonym"] and n2["description"] and n2["comment"]
+    assert n2["has_alternative_id"]
+
+    n3 = n["GO:0005575"]
+    assert "GO:0008372" in n3["has_alternative_id"]
+
+    e = {(r["subject"], r["object"]): r.asDict() for r in edges.collect()}
+    e1 = e[("GO:0008289", "GO:0003674")]
+    assert e1["predicate"] == "biolink:subclass_of"
+    assert e1["relation"] == "rdfs:subClassOf"
