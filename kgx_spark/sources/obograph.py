@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from kgx_spark.functions.curie import contract
 from kgx_spark.functions.keys import generate_edge_identifiers
@@ -194,7 +195,14 @@ def read_obograph(
         ]
     nodes = sanitize_import(raw_nodes.select(*sel))
 
-    raw_edges = g.select(F.explode("g.edges").alias("e")).select("e.*")
+    # an edge-less document (e.g. the reference's phenio.json fixture, whose
+    # graphs carry `edges: []`) infers a non-struct element type that cannot
+    # star-expand — treat it as zero edges
+    exploded = g.select(F.explode("g.edges").alias("e"))
+    if isinstance(exploded.schema["e"].dataType, T.StructType):
+        raw_edges = exploded.select("e.*")
+    else:
+        raw_edges = spark.createDataFrame([], "sub string, pred string, obj string")
     pred = F.col("pred")
     is_iri = pred.startswith("http://") | pred.startswith("https://")
     pred_curie = contract(pred)

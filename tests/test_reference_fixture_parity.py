@@ -449,3 +449,26 @@ def test_owl_goslim(spark):
     e1 = e[("GO:0008289", "GO:0003674")]
     assert e1["predicate"] == "biolink:subclass_of"
     assert e1["relation"] == "rdfs:subClassOf"
+
+
+def test_obograph_phenio_deprecated(spark):
+    """test_obograph_source.py::test_read_deprecated_term_phenio — the
+    deprecated flag survives, and an edge-less obograph document (its
+    graphs carry `edges: []`) parses to zero edges."""
+    from kgx_spark.sources.obograph import read_obograph
+
+    nodes, edges = read_obograph(spark, f"{RES}/phenio.json")
+    n1 = _by_id(nodes)["GO:0051370"]
+    assert n1["name"] == "obsolete ZASP binding"
+    assert n1["deprecated"] is True
+    assert edges.count() == 0
+
+
+def test_obograph_error_detection_fixture(spark):
+    """test_obograph_source.py::test_error_detection — the malformed sample
+    still parses into its 3 nodes / 2 edges."""
+    from kgx_spark.sources.obograph import read_obograph
+
+    nodes, edges = read_obograph(spark, f"{RES}/obo_error_detection.json")
+    assert nodes.count() == 3
+    assert edges.count() == 2
