@@ -1388,9 +1388,12 @@ def q_obograph_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_rdf_nt_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    """N-Triples source round-trip (rdf_source.py:128-355): node-property
-    dispatch (rdfs:label → name), plain edges with CURIE contraction, and
-    rdf:Statement DEREIFICATION — NT generated deterministically from part."""
+    """N-Triples source round-trip (rdf_source.py:128-631): node-property
+    dispatch (rdfs:label → name), plain edges with model-resolved
+    predicates, and rdf:Statement DEREIFICATION keeping the statement id,
+    its rdf:type, and extra literal properties on the edge
+    (dereify:330-355 + add_node_attribute:357-423) — NT generated
+    deterministically from part."""
     from kgx_spark.sources.rdf_nt import read_ntriples
 
     rows = spark.read.parquet(f"{sf}/part.parquet").select("p_partkey", "p_name").collect()
@@ -1404,18 +1407,26 @@ def q_rdf_nt_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         lines.append(f"{s} <{bl}related_to> <http://identifiers.org/ncbigene/{k % 100}> .")
         if k % 3 == 0:
             st = f"<urn:stmt:{k}>"
+            lines.append(f"{st} <{rdf}type> <{bl}Association> .")
             lines.append(f"{st} <{rdf}subject> <http://identifiers.org/hgnc/{k}> .")
             lines.append(f"{st} <{rdf}predicate> <{bl}interacts_with> .")
             lines.append(f"{st} <{rdf}object> <http://identifiers.org/ncbigene/{k % 7}> .")
+            lines.append(f'{st} <https://www.example.org/UNKNOWN/score> "{k % 10}" .')
     path = os.path.join(tempfile.mkdtemp(prefix="kgx_nt_"), "g.nt")
     with open(path, "w") as fh:
         fh.write("\n".join(lines) + "\n")
     nodes, edges = read_ntriples(spark, path)
+    if "type" not in edges.columns:
+        edges = edges.withColumn("type", F.lit(None).cast("array<string>"))
     return (
-        edges.select("subject", "predicate", "object")
+        edges.select(
+            "subject", "predicate", "object", "id",
+            F.array_join(F.coalesce("type", F.array()), "|").alias("stmt_type"),
+            F.col("score"),
+        )
         .join(nodes.select(F.col("id").alias("subject"), F.col("name").alias("subject_name")),
               on="subject", how="left")
-        .select("subject", "predicate", "object", "subject_name")
+        .select("subject", "predicate", "object", "id", "stmt_type", "score", "subject_name")
     )
 
 
@@ -2822,11 +2833,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rdf_nt_roundtrip": """
             SELECT 'HGNC:' || p_partkey AS subject, 'biolink:related_to' AS predicate,
-                   'NCBIGene:' || (p_partkey % 100) AS object, p_name AS subject_name
+                   'NCBIGene:' || (p_partkey % 100) AS object,
+                   sha256('HGNC:' || p_partkey || '-biolink:related_to-NCBIGene:' || (p_partkey % 100)) AS id,
+                   '' AS stmt_type, NULL AS score, p_name AS subject_name
             FROM part
             UNION ALL
             SELECT 'HGNC:' || p_partkey, 'biolink:interacts_with',
-                   'NCBIGene:' || (p_partkey % 7), p_name
+                   'NCBIGene:' || (p_partkey % 7),
+                   'urn:stmt:' || p_partkey,
+                   'biolink:Association', CAST(p_partkey % 10 AS VARCHAR), p_name
             FROM part WHERE p_partkey % 3 = 0
         """,
         "jelly_roundtrip": """
