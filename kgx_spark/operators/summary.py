@@ -100,26 +100,59 @@ def dangling_edges(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     return no_subj.unionByName(no_obj).distinct()
 
 
-def summarize_graph(nodes: DataFrame, edges: DataFrame) -> dict:
-    """Driver-side roll-up mirroring GraphSummary.save's YAML shape
-    (summarize_graph.py:816-837). Small results only — each entry is an
+def summarize_graph(nodes: DataFrame, edges: DataFrame, name: str | None = None) -> dict:
+    """Driver-side roll-up in GraphSummary.save's exact YAML shape
+    (summarize_graph.py:816-837, parity-pinned by the ported
+    test_summarize_graph vectors): counts nested as ``{"count": N}``, an
+    ``unknown`` bucket (always present; category-less nodes and
+    uncategorized edge endpoints land there), plus the ``node_categories``
+    and ``predicates`` catalogs. Small results only — each entry is an
     aggregate, not row data."""
+    cat_rows = (
+        nodes.select(F.explode_outer("category").alias("category"))
+        .groupBy("category")
+        .agg(F.count("*").alias("count"))
+        .collect()
+    )
+    count_by_cat = {"unknown": {"count": 0}}
+    for r in cat_rows:
+        count_by_cat[r["category"] or "unknown"] = {"count": r["count"]}
+
+    pred_rows = count_by_predicate(edges).collect()
+    count_by_pred = {"unknown": {"count": 0}}
+    for r in pred_rows:
+        count_by_pred[r["predicate"] or "unknown"] = {"count": r["count"]}
+
+    # spo with the unknown bucket: LEFT joins so edges whose endpoints are
+    # uncategorized (or absent from the node catalog) still count
+    cats = nodes.select("id", F.explode_outer("category").alias("category"))
+    subj = cats.select(F.col("id").alias("subject"), F.col("category").alias("_sc"))
+    obj = cats.select(F.col("id").alias("object"), F.col("category").alias("_oc"))
+    spo_rows = (
+        edges.select("subject", "predicate", "object")
+        .join(subj, "subject", "left")
+        .join(obj, "object", "left")
+        .groupBy(
+            F.coalesce("_sc", F.lit("unknown")).alias("sc"),
+            F.coalesce("predicate", F.lit("unknown")).alias("p"),
+            F.coalesce("_oc", F.lit("unknown")).alias("oc"),
+        )
+        .agg(F.count("*").alias("count"))
+        .collect()
+    )
     return {
-        "graph_name": None,
+        "graph_name": name,
         "node_stats": {
             "total_nodes": nodes.count(),
-            "count_by_category": {
-                r["category"]: r["count"] for r in count_by_category(nodes).collect()
-            },
+            "node_categories": sorted(k for k in count_by_cat if k != "unknown"),
+            "count_by_category": count_by_cat,
         },
         "edge_stats": {
             "total_edges": edges.count(),
-            "count_by_predicates": {
-                r["predicate"]: r["count"] for r in count_by_predicate(edges).collect()
-            },
+            "predicates": sorted(k for k in count_by_pred if k != "unknown"),
+            "count_by_predicates": count_by_pred,
             "count_by_spo": {
-                f'{r["subject_category"]}-{r["predicate"]}-{r["object_category"]}': r["count"]
-                for r in count_by_spo_category(edges, nodes).collect()
+                f'{r["sc"]}-{r["p"]}-{r["oc"]}': {"count": r["count"]} for r in spo_rows
             },
         },
     }

@@ -173,3 +173,52 @@ def test_remap_edge_property_vectors(spark):
             remap_edge_property(
                 edges, edge_predicate="biolink:subclass_of", old_property=core, new_property="pubs"
             )
+
+
+# ------------------------------------------------------- summarize_graph
+# (tests/unit/test_summarize_graph.py:140-224 vectors)
+
+
+def test_summarize_graph_vectors(spark):
+    from kgx_spark.operators.summary import summarize_graph
+
+    # graph 1: 3 NamedThing nodes, 2 subclass edges
+    n1 = spark.createDataFrame(
+        [("A", ["biolink:NamedThing"]), ("B", ["biolink:NamedThing"]), ("C", ["biolink:NamedThing"])],
+        "id string, category array<string>",
+    )
+    e1 = spark.createDataFrame(
+        [("C", "biolink:subclass_of", "B"), ("B", "biolink:subclass_of", "A")],
+        "subject string, predicate string, object string",
+    )
+    s = summarize_graph(n1, e1)
+    assert s["node_stats"]["total_nodes"] == 3
+    assert s["node_stats"]["node_categories"] == ["biolink:NamedThing"]
+    assert s["node_stats"]["count_by_category"] == {
+        "unknown": {"count": 0},
+        "biolink:NamedThing": {"count": 3},
+    }
+    assert s["edge_stats"]["total_edges"] == 2
+    assert s["edge_stats"]["count_by_predicates"] == {
+        "unknown": {"count": 0},
+        "biolink:subclass_of": {"count": 2},
+    }
+    assert s["edge_stats"]["count_by_spo"] == {
+        "biolink:NamedThing-biolink:subclass_of-biolink:NamedThing": {"count": 2}
+    }
+
+    # graph 3: two uncategorized nodes and one same_as edge — everything
+    # lands in the unknown buckets
+    n3 = spark.createDataFrame([("F", None), ("E", None)], "id string, category array<string>")
+    e3 = spark.createDataFrame(
+        [("F", "biolink:same_as", "E")], "subject string, predicate string, object string"
+    )
+    s3 = summarize_graph(n3, e3)
+    assert s3["node_stats"]["total_nodes"] == 2
+    assert s3["node_stats"]["node_categories"] == []
+    assert s3["node_stats"]["count_by_category"] == {"unknown": {"count": 2}}
+    assert s3["edge_stats"]["count_by_predicates"] == {
+        "unknown": {"count": 0},
+        "biolink:same_as": {"count": 1},
+    }
+    assert s3["edge_stats"]["count_by_spo"] == {"unknown-biolink:same_as-unknown": {"count": 1}}

@@ -88,7 +88,9 @@ def test_summarize_graph_rollup(spark, graph):
     s = summarize_graph(nodes, edges)
     assert s["node_stats"]["total_nodes"] == 3
     assert s["edge_stats"]["total_edges"] == 4
-    assert s["edge_stats"]["count_by_predicates"]["biolink:related_to"] == 3
+    # reference YAML shape: counts nest as {"count": N} (summarize_graph.py)
+    assert s["edge_stats"]["count_by_predicates"]["biolink:related_to"] == {"count": 3}
+    assert s["edge_stats"]["count_by_predicates"]["unknown"] == {"count": 0}
 
 
 def test_meta_node_stats(spark, graph):
