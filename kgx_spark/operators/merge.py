@@ -19,7 +19,12 @@ skew splitting (enabled in session.py).
 
 Determinism: the reference's merge result depends on graph insertion order;
 ours is a pure function of (value, input ordinal):
-- core/scalar "first" = value from the lowest input ordinal (non-null);
+- core properties keep the value from the lowest input ordinal (non-null) —
+  the reference's "core never modified" rule (kgx_utils.py:580-585);
+- preserve=False non-core scalars keep the HIGHEST non-null ordinal — the
+  reference's overwrite-with-incoming (merge_node applies prepare_data_dict
+  with the later-merged graph as `data`, graph_merge.py:150-213), which under
+  merge_all_graphs' largest-graph-first ordering is exactly "last graph wins";
 - list union = sorted distinct (the reference itself sorts list values on
   import — kgx_utils.py:871);
 - conflict-promotion joins the sorted distinct values with '|' (the KGX TSV
@@ -58,6 +63,14 @@ def _first_by_ord(name: str) -> Column:
     return F.min(F.struct(ord_key.alias("o"), F.col(name).alias("v")))["v"]
 
 
+def _last_by_ord(name: str) -> Column:
+    """Last non-null value by input ordinal — the reference's preserve=False
+    overwrite direction (prepare_data_dict replaces non-core props with the
+    incoming graph's value; the incoming graph is the later-merged one)."""
+    ord_key = F.when(F.col(name).isNotNull(), F.col(_ORD)).otherwise(F.lit(-1))
+    return F.max(F.struct(ord_key.alias("o"), F.col(name).alias("v")))["v"]
+
+
 def _list_union(name: str) -> Column:
     """Order-free list union: sorted distinct of all non-null elements
     (kgx_utils.py:608-640; ordering normalized per module docstring)."""
@@ -69,10 +82,13 @@ def _scalar_merge(name: str, preserve: bool) -> Column:
     """Single-valued non-core merge (kgx_utils.py:642-668).
 
     preserve=True: conflicting values → '|'-joined sorted distinct list;
-    preserve=False: overwrite ⇒ deterministic variant keeps lowest-ordinal value.
+    preserve=False: overwrite with the incoming (highest-ordinal) value —
+    under merge_all_graphs ordering this reproduces the reference's
+    test_merge_no_preserve outcome (x1.p1 == 'a',
+    tests/integration/test_graph_merge.py:47-80).
     """
     if not preserve:
-        return _first_by_ord(name)
+        return _last_by_ord(name)
     distinct_vals = F.array_sort(
         F.array_distinct(F.collect_list(F.col(name).cast("string")))
     )
@@ -93,8 +109,12 @@ def _merge_aggs(df: DataFrame, key_cols: list[str], core: frozenset[str], preser
             agg = _first_by_ord(name)  # core never modified: keep first-seen
         elif isinstance(field.dataType, T.StringType):
             agg = _scalar_merge(name, preserve)
+        elif not preserve:
+            agg = _last_by_ord(name)  # overwrite applies to all non-core props
         else:
-            agg = _first_by_ord(name)  # non-string scalars: keep first-seen
+            agg = _first_by_ord(name)  # non-string scalars can't promote to
+            # a '|'-list without a schema change: keep first-seen (documented
+            # divergence from prepare_data_dict's untyped promote)
         aggs.append(agg.alias(name))
     return aggs
 
@@ -116,15 +136,23 @@ def merge_nodes(node_dfs: list[DataFrame], preserve: bool = True) -> DataFrame:
     return union.groupBy("id").agg(*_merge_aggs(union, ["id"], CORE_NODE_PROPERTIES, preserve))
 
 
-def merge_edges(edge_dfs: list[DataFrame], preserve: bool = True) -> DataFrame:
+def merge_edges(
+    edge_dfs: list[DataFrame], preserve: bool = True, key_col: str | None = None
+) -> DataFrame:
     """Merge edge sets by (subject, predicate, object) (graph_merge.py:151-213).
 
-    The reference keys multi-edges by '{s}-{p}-{o}' (kgx_utils.py:343-364), so
-    grouping on the three columns is exactly the reference's edge identity.
+    The reference keys multi-edges by (subject, object, edge_key) where the
+    default key is '{s}-{p}-{o}' (kgx_utils.py:343-364), so grouping on the
+    three columns is exactly the reference's edge identity for edges without
+    an explicit key. When a key column IS carried (the reference's NxGraph
+    tests pass edge_key explicitly — tests/unit/test_graph_merge.py:19-33,
+    where two edges with DIFFERENT edge_labels share one key and merge),
+    pass ``key_col`` to group by (subject, object, key) instead; the
+    predicate then merges like any core property (first non-null by ordinal).
     Missing/conflicting ids resolve to the deterministic sha2 edge id.
     """
     union = _with_ord(edge_dfs)
-    key = ["subject", "predicate", "object"]
+    key = ["subject", "object", key_col] if key_col else ["subject", "predicate", "object"]
     aggs = _merge_aggs(union, key, CORE_EDGE_PROPERTIES, preserve)
     merged = union.groupBy(*key).agg(*aggs)
     det_id = deterministic_edge_id(F.col("subject"), F.col("predicate"), F.col("object"))
@@ -136,11 +164,31 @@ def merge_edges(edge_dfs: list[DataFrame], preserve: bool = True) -> DataFrame:
 
 
 def merge_graphs(
-    graphs: list[tuple[DataFrame, DataFrame]], preserve: bool = True
+    graphs: list[tuple[DataFrame, DataFrame]],
+    preserve: bool = True,
+    edge_key_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """merge_all_graphs (graph_merge.py:12-56) — order-free under Spark:
-    the reference picks the largest graph as the mutation target purely as a
-    memory optimization; a union + groupBy has no target."""
+    """merge_graphs (graph_merge.py:60-90) — inputs merged in the given
+    order; under preserve=False the later input's non-core values win
+    (the reference's incoming-overwrite)."""
     nodes = merge_nodes([g[0] for g in graphs], preserve)
-    edges = merge_edges([g[1] for g in graphs], preserve)
+    edges = merge_edges([g[1] for g in graphs], preserve, key_col=edge_key_col)
     return nodes, edges
+
+
+def merge_all_graphs(
+    graphs: list[tuple[DataFrame, DataFrame]],
+    preserve: bool = True,
+    edge_key_col: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """merge_all_graphs (graph_merge.py:12-56): the reference pops the graph
+    with the most edges and merges the REST into it in order, so the largest
+    graph's values are overwritten by every other input under
+    preserve=False. Reproduced by reordering the inputs largest-first before
+    the ordinal tagging (the groupBy itself stays one shuffle; the edge
+    counts are N cheap driver-side jobs, same as the reference's len() —
+    callers that already know their order use merge_graphs directly)."""
+    sizes = [g[1].count() for g in graphs]
+    largest = sizes.index(max(sizes))
+    ordered = [graphs[largest]] + [g for i, g in enumerate(graphs) if i != largest]
+    return merge_graphs(ordered, preserve, edge_key_col=edge_key_col)

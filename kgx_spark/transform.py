@@ -377,7 +377,14 @@ def merge(
     preserve: bool = True,
 ) -> Graph:
     """kgx merge: N sources → unionByName → groupBy merge → operations → sink
-    (kgx/cli/cli_utils.py:723-901 + graph_merge.py)."""
+    (kgx/cli/cli_utils.py:723-901 + graph_merge.py).
+
+    The reference CLI calls merge_all_graphs (cli_utils.py:813), which
+    reorders inputs largest-edge-count-first before merging; that ordering
+    is observable only through scalar-conflict resolution. Here sources
+    merge in the configured order — counting edges first would be a full
+    scan per source at scale. Callers needing the reference's exact
+    ordering use operators.merge.merge_all_graphs directly."""
     graphs = [read_source(spark, s) for s in sources]
     nodes, edges = merge_graphs(graphs, preserve=preserve)
     if operations:

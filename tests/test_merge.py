@@ -68,7 +68,7 @@ def test_merge_nodes_counts_and_union(spark):
 def test_merge_nodes_overwrite_mode(spark):
     merged = merge_nodes([_g1(spark)[0], _g2(spark)[0]], preserve=False)
     x1 = {r["id"]: r for r in merged.collect()}["x1"]
-    assert x1["p1"] == "1"  # deterministic overwrite: lowest input ordinal
+    assert x1["p1"] == "a"  # overwrite with the incoming (later) graph's value
 
 
 def test_merge_edges_dedup_and_provenance(spark):

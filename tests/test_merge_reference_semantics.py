@@ -95,10 +95,9 @@ def test_merge_all_graphs_counts_and_unions(spark):
 
 
 def test_merge_preserve_false_overwrites_scalars(spark):
-    """preserve=False: conflicting single-valued props resolve to ONE value
-    (the reference overwrites with the incoming graph; ours keeps the
-    lowest-ordinal value deterministically — both are single-valued
-    outcomes, unlike preserve=True's promote-to-list)."""
+    """preserve=False: conflicting single-valued props resolve to the
+    INCOMING (later-merged) graph's value, exactly the reference's
+    prepare_data_dict overwrite (kgx_utils.py:642-668 else-branch)."""
     a = spark.createDataFrame(
         [("X", "first", ["biolink:NamedThing"], None)],
         "id string, name string, category array<string>, p1 string",
@@ -111,7 +110,7 @@ def test_merge_preserve_false_overwrites_scalars(spark):
     assert merged_preserve["p1"] == "v1|v2"  # promoted to '|'-joined list
 
     merged_overwrite = merge_nodes([a, b], preserve=False).first()
-    assert merged_overwrite["p1"] == "v1"  # single value, deterministic
+    assert merged_overwrite["p1"] == "v2"  # incoming graph wins
 
 
 def test_merge_counts_match_reference_totals(spark):
@@ -125,3 +124,48 @@ def test_merge_counts_match_reference_totals(spark):
     all_edges = e1.unionByName(e2).unionByName(e3)
     edge_merge_count = all_edges.count() - merge_edges([e1, e2, e3]).count()
     assert edge_merge_count == 1  # B-subclass_of-A appears in g1 and g2
+
+
+def test_merge_edges_by_explicit_key(spark):
+    """test_graph_merge.py:19-33,115-136 — the reference keys edges by
+    (subject, object, edge_key), NOT by predicate: g1's B→A edge carries
+    edge_label 'biolink:sub_class_of' (sic) under key
+    'B-biolink:subclass_of-A' and still merges with g2's
+    'biolink:subclass_of' edge under the same key. With key_col the kernel
+    reproduces that: 6 merged edges, provided_by union on the shared key,
+    predicate resolved first-by-ordinal (largest graph first → g2's)."""
+    from kgx_spark.operators.merge import merge_edges
+
+    schema = (
+        "subject string, predicate string, object string, id string,"
+        " relation string, provided_by array<string>"
+    )
+    g1 = spark.createDataFrame(
+        [
+            ("C", "biolink:sub_class_of", "B", "C-biolink:subclass_of-B", "rdfs:subClassOf", None),
+            ("B", "biolink:sub_class_of", "A", "B-biolink:subclass_of-A", "rdfs:subClassOf", ["Graph 1"]),
+        ],
+        schema,
+    )
+    g2 = spark.createDataFrame(
+        [
+            ("B", "biolink:subclass_of", "A", "B-biolink:subclass_of-A", "rdfs:subClassOf", ["Graph 2"]),
+            ("B", "biolink:related_to", "A", "B-biolink:related_to-A", "biolink:related_to", None),
+            ("D", "biolink:related_to", "A", "D-biolink:related_to-A", "biolink:related_to", None),
+            ("E", "biolink:related_to", "A", "E-biolink:related_to-A", "biolink:related_to", None),
+        ],
+        schema,
+    )
+    g3 = spark.createDataFrame(
+        [("F", "biolink:same_as", "E", "F-biolink:same_as-E", "OWL:same_as", None)],
+        schema,
+    )
+    # merge_all_graphs order: g2 (largest, 4 edges) first, then g1, g3
+    merged = merge_edges([g2, g1, g3], key_col="id")
+    assert merged.count() == 6
+
+    ba = merged.where((F.col("subject") == "B") & (F.col("object") == "A"))
+    assert ba.count() == 2
+    sub = ba.where(F.col("id") == "B-biolink:subclass_of-A").first()
+    assert sorted(sub["provided_by"]) == ["Graph 1", "Graph 2"]
+    assert sub["predicate"] == "biolink:subclass_of"  # first non-null by ordinal

@@ -472,3 +472,63 @@ def test_obograph_error_detection_fixture(spark):
     nodes, edges = read_obograph(spark, f"{RES}/obo_error_detection.json")
     assert nodes.count() == 3
     assert edges.count() == 2
+
+
+# ------------------------------------------------------------------- merge
+
+
+def _merge_inputs(spark):
+    from kgx_spark.sources.tsv import read_edges_tsv, read_nodes_tsv
+
+    t1 = (
+        read_nodes_tsv(spark, f"{RES}/merge/test1_nodes.tsv", fmt="tsv"),
+        read_edges_tsv(spark, f"{RES}/merge/test1_edges.tsv", fmt="tsv"),
+    )
+    t2 = (
+        read_nodes_tsv(spark, f"{RES}/merge/test2_nodes.tsv", fmt="tsv"),
+        read_edges_tsv(spark, f"{RES}/merge/test2_edges.tsv", fmt="tsv"),
+    )
+    return t1, t2
+
+
+def test_merge_fixture_preserve(spark):
+    """tests/integration/test_graph_merge.py::test_merge — the reference's
+    own merge/ TSV fixtures through our source + merge kernel: 6 nodes,
+    8 edges; x1 keeps its name, unions categories, and its conflicting p1
+    carries BOTH graphs' values ('a' and '1', here '|'-encoded)."""
+    from kgx_spark.operators.merge import merge_all_graphs
+
+    t1, t2 = _merge_inputs(spark)
+    nodes, edges = merge_all_graphs([t1, t2], preserve=True)
+    n = _by_id(nodes)
+    assert len(n) == 6
+    assert edges.count() == 8
+
+    x1 = n["x1"]
+    assert x1["name"] == "node x1"
+    assert isinstance(x1["category"], list)
+    assert "a" in x1["p1"].split("|")
+    assert "1" in x1["p1"].split("|")
+
+    x10 = n["x10"]
+    assert x10["id"] == "x10"
+    assert x10["name"] == "node x10"
+
+
+def test_merge_fixture_no_preserve(spark):
+    """::test_merge_no_preserve — overwrite mode: x1's category still unions
+    (multivalued), but p1 resolves to the INCOMING graph's 'a' (the largest
+    graph — test1, 5 edges — is the merge target; test2 overwrites it)."""
+    from kgx_spark.operators.merge import merge_all_graphs
+
+    t1, t2 = _merge_inputs(spark)
+    nodes, edges = merge_all_graphs([t1, t2], preserve=False)
+    n = _by_id(nodes)
+    assert len(n) == 6
+    assert edges.count() == 8
+
+    x1 = n["x1"]
+    assert x1["name"] == "node x1"
+    assert "biolink:Gene" in x1["category"]  # from test1
+    assert "biolink:NamedThing" in x1["category"]  # from test2
+    assert x1["p1"] == "a"
