@@ -19,17 +19,39 @@ CATEGORY_REGEX = r"^biolink:[A-Z][a-zA-Z]*$"  # meta_knowledge_graph.py:55
 PREDICATE_REGEX = r"^biolink:[a-z][a-z_]*$"  # meta_knowledge_graph.py:58
 
 
+def _catalog_nodes(nodes: DataFrame) -> DataFrame:
+    """Duplicate node records are analysed once: the reference logs a
+    DUPLICATE_NODE warning and returns without re-counting
+    (meta_knowledge_graph.py:414-425). Its rule is first-record-wins;
+    ``dropDuplicates`` keeps an arbitrary record, which is identical
+    whenever the duplicates are exact copies (true of the reference's own
+    graph_nodes.tsv fixture — all 22 duplicate groups are byte-equal) and
+    a documented divergence otherwise (no stable record order exists in a
+    distributed scan)."""
+    return nodes.dropDuplicates(["id"])
+
+
 def meta_node_stats(nodes: DataFrame) -> DataFrame:
     """category → (id_prefixes sorted set, count) with invalid categories
-    filtered out (meta_knowledge_graph.py:400-445)."""
-    exploded = nodes.select(
+    filtered out (meta_knowledge_graph.py:400-445). A node counts once per
+    DISTINCT category (the reference appends a category index only if not
+    already present — :393-396)."""
+    exploded = _catalog_nodes(nodes).select(
         F.split_part("id", F.lit(":"), F.lit(1)).alias("prefix"),
-        F.explode("category").alias("category"),
+        F.explode(F.array_distinct("category")).alias("category"),
     ).where(F.col("category").rlike(CATEGORY_REGEX))
     return exploded.groupBy("category").agg(
         F.array_sort(F.collect_set("prefix")).alias("id_prefixes"),
         F.count("*").alias("count"),
     )
+
+
+def _meta_category_catalog(nodes: DataFrame) -> DataFrame:
+    """id × distinct valid category over deduplicated node records — the
+    reference's node_catalog (meta_knowledge_graph.py:393-396,414-441)."""
+    return node_category_catalog(
+        _catalog_nodes(nodes).withColumn("category", F.array_distinct("category"))
+    ).where(F.col("category").rlike(CATEGORY_REGEX))
 
 
 def meta_edge_stats(edges: DataFrame, nodes: DataFrame) -> DataFrame:
@@ -41,7 +63,7 @@ def meta_edge_stats(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     target scale; round-1 judge finding #1). Unhinted, AQE broadcasts it at
     runtime when its measured size is small and shuffle-joins otherwise.
     """
-    cats = node_category_catalog(nodes).where(F.col("category").rlike(CATEGORY_REGEX))
+    cats = _meta_category_catalog(nodes)
     subj = cats.withColumnRenamed("id", "subject").withColumnRenamed("category", "subject_category")
     obj = cats.withColumnRenamed("id", "object").withColumnRenamed("category", "object_category")
     sel = ["subject", "predicate", "object"]
@@ -66,7 +88,8 @@ def meta_node_count_by_source(nodes: DataFrame, facet: str = "provided_by") -> D
         else F.col(facet)
     )
     return (
-        nodes.select(F.explode("category").alias("category"), facet_col.alias("source"))
+        _catalog_nodes(nodes)
+        .select(F.explode(F.array_distinct("category")).alias("category"), facet_col.alias("source"))
         .where(F.col("category").rlike(CATEGORY_REGEX) & F.col("source").isNotNull())
         .groupBy("category", "source")
         .agg(F.count("*").alias("count"))
@@ -80,7 +103,7 @@ def meta_edge_count_by_source(
     per-association knowledge-source counts (meta_knowledge_graph.py:488,
     519,535-600; edges default to the 'knowledge_source' facet — :111-112).
     Same unhinted catalog joins as meta_edge_stats."""
-    cats = node_category_catalog(nodes).where(F.col("category").rlike(CATEGORY_REGEX))
+    cats = _meta_category_catalog(nodes)
     subj = cats.withColumnRenamed("id", "subject").withColumnRenamed("category", "subject_category")
     obj = cats.withColumnRenamed("id", "object").withColumnRenamed("category", "object_category")
     facet_col = (
@@ -96,6 +119,42 @@ def meta_edge_count_by_source(
         .join(obj, "object")
         .groupBy("subject_category", "predicate", "object_category", "source")
         .agg(F.count("*").alias("count"))
+    )
+
+
+def meta_predicate_counts(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """(predicate, count) over 'valid' edges — the reference's predicate
+    tally (_capture_predicate, meta_knowledge_graph.py:447-483) minus its
+    missing-endpoint decrements (analyse_edge :566-597). An edge whose
+    subject or object id never appeared as a node record is subtracted
+    back out, but the predicate key survives with count 0, so the
+    distinct-predicate count (get_predicate_count :741-752) still sees it
+    — hence left joins with a flag, not semi-joins.
+
+    The endpoint catalog is every deduplicated node id regardless of
+    category validity (analyse_node registers the id before the category
+    check — :414-441). Divergence note: the reference skips the
+    object-existence check when the subject has zero category mappings
+    (the check sits inside the per-category loop, :577-588); we apply it
+    unconditionally.
+
+    Scale: two unhinted joins against an id-only catalog (AQE broadcasts
+    when small) + one low-cardinality groupBy — same shape as
+    dangling_edges.
+    """
+    ids = _catalog_nodes(nodes).select("id")
+    valid = edges.where(F.col("predicate").rlike(PREDICATE_REGEX)).select(
+        "subject", "predicate", "object"
+    )
+    joined = valid.join(
+        ids.select(F.col("id").alias("subject"), F.lit(1).alias("s_ok")), "subject", "left"
+    ).join(
+        ids.select(F.col("id").alias("object"), F.lit(1).alias("o_ok")), "object", "left"
+    )
+    return joined.groupBy("predicate").agg(
+        F.sum(
+            F.when(F.col("s_ok").isNotNull() & F.col("o_ok").isNotNull(), 1).otherwise(0)
+        ).alias("count")
     )
 
 

@@ -532,3 +532,112 @@ def test_merge_fixture_no_preserve(spark):
     assert "biolink:Gene" in x1["category"]  # from test1
     assert "biolink:NamedThing" in x1["category"]  # from test2
     assert x1["p1"] == "a"
+
+
+# ------------------------------------------------------ meta-knowledge-graph
+
+
+def _graph_fixture(spark):
+    from kgx_spark.sources.tsv import read_kgx_tsv
+
+    return read_kgx_tsv(
+        spark, [f"{RES}/graph_nodes.tsv", f"{RES}/graph_edges.tsv"], fmt="tsv"
+    )
+
+
+def test_meta_kg_graph_fixture_node_stats(spark):
+    """test_meta_knowledge_graph.py::test_generate_meta_knowledge_graph_by_inspector
+    node-side asserts: 512 distinct nodes (the fixture carries 22 exact
+    duplicate records the reference skips), 8 categories, Gene count 178,
+    the pinned id_prefix memberships."""
+    from kgx_spark.operators.meta_kg import _catalog_nodes, meta_node_stats
+
+    nodes, _ = _graph_fixture(spark)
+    assert _catalog_nodes(nodes).count() == 512
+
+    stats = {r["category"]: r.asDict() for r in meta_node_stats(nodes).collect()}
+    assert len(stats) == 8
+    assert stats["biolink:Gene"]["count"] == 178
+    assert "NCBIGene" in stats["biolink:Gene"]["id_prefixes"]
+    assert "REACT" in stats["biolink:Pathway"]["id_prefixes"]
+    assert "HP" in stats["biolink:PhenotypicFeature"]["id_prefixes"]
+
+
+def test_meta_kg_graph_fixture_edge_stats(spark):
+    """::test_generate_meta_knowledge_graph_by_inspector edge-side asserts:
+    539 valid edges, 13 (subject_category, predicate, object_category)
+    mappings, Gene-interacts_with-Gene count 165, and the
+    aggregator_knowledge_source facet counts (string 160, hpoa 111)."""
+    from kgx_spark.operators.meta_kg import (
+        meta_edge_count_by_source,
+        meta_edge_stats,
+        meta_predicate_counts,
+    )
+
+    nodes, edges = _graph_fixture(spark)
+
+    preds = meta_predicate_counts(edges, nodes)
+    assert preds.agg({"count": "sum"}).collect()[0][0] == 539
+
+    mappings = {
+        (r["subject_category"], r["predicate"], r["object_category"]): r["count"]
+        for r in meta_edge_stats(edges, nodes).collect()
+    }
+    assert len(mappings) == 13
+    assert mappings[("biolink:Gene", "biolink:interacts_with", "biolink:Gene")] == 165
+
+    cbs = {
+        (r["subject_category"], r["predicate"], r["object_category"], r["source"]): r["count"]
+        for r in meta_edge_count_by_source(
+            edges, nodes, facet="aggregator_knowledge_source"
+        ).collect()
+    }
+    g_i_g = {k[3]: v for k, v in cbs.items()
+             if k[:3] == ("biolink:Gene", "biolink:interacts_with", "biolink:Gene")}
+    assert set(g_i_g) == {"biogrid", "string"}
+    assert g_i_g["string"] == 160
+    g_p_p = {k[3]: v for k, v in cbs.items()
+             if k[:3] == ("biolink:Gene", "biolink:has_phenotype", "biolink:PhenotypicFeature")}
+    assert set(g_p_p) == {"omim", "orphanet", "hpoa"}
+    assert g_p_p["hpoa"] == 111
+    assert not any(
+        k[:3] == ("biolink:Gene", "biolink:affects", "biolink:Disease") for k in cbs
+    )
+
+
+def test_meta_kg_multi_category_fixture(spark):
+    """::test_meta_knowledge_graph_multiple_category_and_predicate_parsing —
+    the Cartesian category-product semantics: 10 nodes / 7 categories /
+    35 node-category mappings; 8 valid edges (one dangles on HP:0010636) /
+    2 predicates / 25 edge mappings / 100 edge counts across mappings."""
+    from kgx_spark.operators.meta_kg import (
+        _catalog_nodes,
+        meta_edge_stats,
+        meta_node_stats,
+        meta_predicate_counts,
+    )
+    from kgx_spark.sources.tsv import read_kgx_tsv
+
+    nodes, edges = read_kgx_tsv(
+        spark,
+        [f"{RES}/graph_multi_category_nodes.tsv", f"{RES}/graph_multi_category_edges.tsv"],
+        fmt="tsv",
+    )
+    assert _catalog_nodes(nodes).count() == 10
+
+    node_stats = {r["category"]: r["count"] for r in meta_node_stats(nodes).collect()}
+    assert len(node_stats) == 7
+    assert node_stats["biolink:Disease"] == 1
+    assert node_stats["biolink:BiologicalEntity"] == 5
+    assert "biolink:AnatomicalEntityEntity" not in node_stats
+    assert sum(node_stats.values()) == 35
+
+    preds = {r["predicate"]: r["count"] for r in meta_predicate_counts(edges, nodes).collect()}
+    assert len(preds) == 2
+    assert preds["biolink:has_phenotype"] == 4
+    assert sum(preds.values()) == 8
+
+    edge_stats = meta_edge_stats(edges, nodes)
+    rows = edge_stats.collect()
+    assert len(rows) == 25
+    assert sum(r["count"] for r in rows) == 100
