@@ -386,11 +386,22 @@ def elect_leaders(
     leader_annotation: str | None = None,
     component_priority: DataFrame | None = None,
 ) -> DataFrame:
-    """members(id, component) → (id, component, leader) per clique.
+    """members(id, component) → (id, component, leader, election_strategy)
+    per clique.
 
     Priority (clique_merge.py:662-783): annotated leader → prefix-priority
     rank → alphabetical (prefix, id). One window per component — cliques are
-    tiny, so the window partitions are balanced.
+    tiny, so the window partitions are balanced. ``election_strategy`` is
+    the reference's per-leader label ("LEADER_ANNOTATION" /
+    "PREFIX_PRIORITIZATION" / "ALPHABETICAL_SORT" — :710,748,775), derived
+    from which tier the winning row was ranked by.
+
+    Divergences, both documented: the reference's prefix-priority probe is
+    substring containment (`prefix in x` — :747), matching e.g. 'OMIM'
+    inside 'HGNC:OMIMfoo'; we match the actual CURIE prefix. Its
+    annotation scan keeps the LAST annotated member in iteration order
+    (:691-708 loop overwrite); our window keeps the first by (prefix, id)
+    sort — identical whenever one member is annotated.
     """
     ranked = members
     if leader_annotation and leader_annotation in nodes.columns:
@@ -400,6 +411,7 @@ def elect_leaders(
         ranked = ranked.withColumn("_ann", F.lit(False))
 
     prefix = F.split_part("id", F.lit(":"), F.lit(1))
+    rank_sentinel = 0  # rank >= sentinel ⇒ no priority matched (ALPHABETICAL)
     if component_priority is not None:
         # per-clique priority list, selected by the clique's category
         # (elect_leader:214-228 — ppm[clique_category]; cliques whose
@@ -411,11 +423,13 @@ def elect_leaders(
         ranked = ranked.withColumn(
             "_rank", F.when(pos > 0, pos).otherwise(F.lit(2**31)).cast("long")
         ).drop("_priority")
+        rank_sentinel = 2**31
     elif prefix_priority:
         rank_expr = None
         for i, p in enumerate(prefix_priority):
             rank_expr = F.when(prefix == p, i) if rank_expr is None else rank_expr.when(prefix == p, i)
         ranked = ranked.withColumn("_rank", rank_expr.otherwise(len(prefix_priority)))
+        rank_sentinel = len(prefix_priority)
     else:
         ranked = ranked.withColumn("_rank", F.lit(0))
     ranked = ranked.withColumn("_prefix", prefix)
@@ -423,9 +437,16 @@ def elect_leaders(
     w = Window.partitionBy("component").orderBy(
         F.col("_ann").desc(), F.col("_rank").asc(), F.col("_prefix").asc(), F.col("id").asc()
     )
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     leaders = (
         ranked.withColumn("_rn", F.row_number().over(w))
-        .withColumn("leader", F.first("id").over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("leader", F.first("id").over(wfull))
+        .withColumn(
+            "election_strategy",
+            F.when(F.first("_ann").over(wfull), "LEADER_ANNOTATION")
+            .when(F.first("_rank").over(wfull) < rank_sentinel, "PREFIX_PRIORITIZATION")
+            .otherwise("ALPHABETICAL_SORT"),
+        )
         .drop("_ann", "_rank", "_prefix", "_rn")
     )
     return leaders
@@ -679,13 +700,40 @@ def clique_merge(
     # derived from the CHECKPOINTED mapping (which is exactly the non-leader
     # members), so the size probe and the join below don't re-run the
     # election window
+    leader_props = (
+        leader_map.where(F.col("id") == F.col("leader"))
+        .select(F.col("leader").alias("id"), "election_strategy")
+        .withColumnRenamed("election_strategy", "_strategy")
+    )
     members_per_leader = (
         mapping.groupBy("leader")
         .agg(F.array_sort(F.collect_set("id")).alias("_members"))
         .withColumnRenamed("leader", "id")
+        .join(leader_props, on="id", how="left")
     )
     n = nodes.join(b, on="id", how="left_anti")  # drop non-leader members
     n = n.join(conditional_broadcast(members_per_leader), on="id", how="left")
+    # stamp the reference's leader annotations onto merged-clique leaders
+    # (clique_merge.py:239-242 sets leader_annotation=True +
+    # election_strategy during election; :290-300 copies them onto the
+    # updated graph's leader)
+    is_leader = F.col("_members").isNotNull()
+    ann_col = leader_annotation or "clique_leader"
+    if ann_col in n.columns:
+        ann_type = dict(n.dtypes)[ann_col]
+        true_lit = (
+            F.array(F.lit("True")) if ann_type.startswith("array") else F.lit("True").cast(ann_type)
+        )
+        n = n.withColumn(ann_col, F.when(is_leader, true_lit).otherwise(F.col(ann_col)))
+    else:
+        n = n.withColumn(ann_col, F.when(is_leader, F.lit(True)))
+    if "election_strategy" in n.columns:
+        n = n.withColumn(
+            "election_strategy",
+            F.when(is_leader, F.col("_strategy")).otherwise(F.col("election_strategy")),
+        ).drop("_strategy")
+    else:
+        n = n.withColumnRenamed("_strategy", "election_strategy")
     if update_categories and "category" in nodes.columns:
         # stamp the clique's most-specific category onto the leader
         # (clique_merge.py:388-499 update_node_categories + get_clique_category)

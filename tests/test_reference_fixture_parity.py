@@ -641,3 +641,82 @@ def test_meta_kg_multi_category_fixture(spark):
     rows = edge_stats.collect()
     assert len(rows) == 25
     assert sum(r["count"] for r in rows) == 100
+
+
+# --------------------------------------------------- clique-merge integration
+
+
+def test_clique_merge_integration_csv_fixture(spark):
+    """tests/integration/test_clique_merge_operation.py::test_clique_generation
+    + ::test_clique_merge — the cm_nodes/cm_edges CSV fixtures through our
+    source + clique_merge with the category-keyed prefix map: 2 cliques,
+    HGNC leaders elected via PREFIX_PRIORITIZATION, the Disease-categorized
+    ENSEMBL:ENSG00000124151 evicted from its Gene clique's same_as."""
+    from kgx_spark.operators.clique import clique_merge
+    from kgx_spark.sources.tsv import read_kgx_tsv
+
+    nodes, edges = read_kgx_tsv(
+        spark, [f"{RES}/cm_nodes.csv", f"{RES}/cm_edges.csv"], fmt="csv"
+    )
+    n, _, mapping = clique_merge(
+        nodes,
+        edges,
+        prefix_prioritization_map={
+            "biolink:Gene": ["HGNC", "NCBIGene", "ENSEMBL", "OMIM"]
+        },
+    )
+    leaders = sorted(r["leader"] for r in mapping.select("leader").distinct().collect())
+    assert leaders == ["HGNC:35302", "HGNC:7670"]
+
+    by_id = _by_id(n)
+    n1 = by_id["HGNC:35302"]
+    assert n1["election_strategy"] == "PREFIX_PRIORITIZATION"
+    assert n1["clique_leader"]
+    assert "NCBIGene:100302240" in n1["same_as"]
+    assert "ENSEMBL:ENSG00000284458" in n1["same_as"]
+
+    n2 = by_id["HGNC:7670"]
+    assert n2["election_strategy"] == "PREFIX_PRIORITIZATION"
+    assert "NCBIGene:8202" in n2["same_as"]
+    assert "OMIM:601937" in n2["same_as"]
+    assert "ENSEMBL:ENSG00000124151" not in n2["same_as"]
+    # the evicted node survives as its own record
+    assert "ENSEMBL:ENSG00000124151" in by_id
+
+
+def test_clique_merge_integration_edge_consolidation(spark):
+    """::test_clique_merge_edge_consolidation — cm_test2 TSV fixtures with
+    annotated leaders: LEADER_ANNOTATION election, re-pointed edge fan
+    (3 in / 6 out on HGNC:7670 — the duplicate subclass_of collapses, the
+    same_as edge to the evicted Disease node survives)."""
+    from kgx_spark.operators.clique import clique_merge
+    from kgx_spark.sources.tsv import read_kgx_tsv
+
+    nodes, edges = read_kgx_tsv(
+        spark, [f"{RES}/cm_test2_nodes.tsv", f"{RES}/cm_test2_edges.tsv"], fmt="tsv"
+    )
+    n, e, mapping = clique_merge(
+        nodes,
+        edges,
+        prefix_prioritization_map={
+            "biolink:Gene": ["HGNC", "NCBIGene", "ENSEMBL", "OMIM"]
+        },
+        leader_annotation="clique_leader",
+    )
+    leaders = sorted(r["leader"] for r in mapping.select("leader").distinct().collect())
+    assert leaders == ["HGNC:35302", "HGNC:7670"]
+
+    by_id = _by_id(n)
+    n1 = by_id["HGNC:35302"]
+    assert n1["election_strategy"] == "LEADER_ANNOTATION"
+    assert "NCBIGene:100302240" in n1["same_as"]
+    assert "ENSEMBL:ENSG00000284458" in n1["same_as"]
+
+    n2 = by_id["HGNC:7670"]
+    assert n2["election_strategy"] == "LEADER_ANNOTATION"
+    assert "NCBIGene:8202" in n2["same_as"]
+    assert "OMIM:601937" in n2["same_as"]
+    assert "ENSEMBL:ENSG00000124151" not in n2["same_as"]
+
+    assert e.where(F.col("object") == "HGNC:7670").count() == 3
+    assert e.where(F.col("subject") == "HGNC:7670").count() == 6
