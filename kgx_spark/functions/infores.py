@@ -84,6 +84,129 @@ def infores_catalog(
     )
 
 
+#: kgx/utils/kgx_utils.py:62-71 provenance_slot_types — the knowledge-source
+#: slots the provenance map may coerce, with their list-ness
+PROVENANCE_SLOTS: dict[str, bool] = {
+    "knowledge_source": False,
+    "primary_knowledge_source": False,
+    "original_knowledge_source": False,
+    "aggregator_knowledge_source": True,
+    "supporting_data_source": True,
+    "provided_by": True,
+}
+
+
+def _spec_mode(spec) -> str:
+    """Classify a provenance-map entry (infores.py:290-311
+    set_provenance_map_entry): True/'true' → coerce, False/'false' →
+    suppress, tuple/list → rewrite-coerce, other string → default fill."""
+    if isinstance(spec, bool):
+        return "coerce" if spec else "suppress"
+    if isinstance(spec, (list, tuple)):
+        return "rewrite"
+    if isinstance(spec, str):
+        s = spec.strip().lower()
+        if s == "true":
+            return "coerce"
+        if s == "false":
+            return "suppress"
+        return "fill"
+    return "fill"
+
+
+def apply_provenance_map(
+    df: DataFrame, specs: dict, is_node: bool
+) -> DataFrame:
+    """The reference Transformer's knowledge-source coercion
+    (kgx/utils/infores.py:326-459): input_args entries named after
+    provenance slots rewrite those columns at ingest.
+
+    - nodes process ONLY ``provided_by`` (set_node_provenance :430-440);
+    - edges process every spec'd slot (set_edge_provenance :442-459);
+    - coerce/rewrite → each present value through infores_curie (list
+      slots element-wise); suppress → the column is dropped (the
+      reference pops values that became empty — :427-428); a plain
+      string → fill missing values only, raw.
+    """
+    for ksf, spec in specs.items():
+        if ksf not in PROVENANCE_SLOTS:
+            continue
+        if is_node and ksf != "provided_by":
+            continue
+        mode = _spec_mode(spec)
+        if mode == "suppress":
+            if ksf in df.columns:
+                df = df.drop(ksf)
+            continue
+        if ksf not in df.columns:
+            continue
+        rewrite = tuple(spec) if mode == "rewrite" else None
+        if mode in ("coerce", "rewrite"):
+            if dict(df.dtypes).get(ksf, "").startswith("array"):
+                df = df.withColumn(
+                    ksf, F.transform(F.col(ksf), lambda x: infores_curie(x, rewrite=rewrite))
+                )
+            else:
+                df = df.withColumn(ksf, infores_curie(F.col(ksf), rewrite=rewrite))
+        elif mode == "fill":
+            multivalued = PROVENANCE_SLOTS[ksf]
+            df = default_provenance(df, str(spec), slot=ksf, multivalued=multivalued)
+    return df
+
+
+def transformer_infores_catalog(
+    nodes: DataFrame | None, edges: DataFrame | None, specs: dict
+) -> DataFrame:
+    """Raw knowledge-source name → infores CURIE catalog for a provenance
+    map, the reference's Transformer.get_infores_catalog()
+    (transformer.py:313-319 aggregation; infores.py:110-133 _get_infores
+    population).
+
+    Reproduces a reference quirk the integration tests pin:
+    set_edge_provenance runs mapped slots through set_provenance TWICE
+    (once in the data-field loop :455-456, again in the mapping loop
+    :457-459), so an edge slot's already-coerced ``infores:*`` values are
+    re-catalogued as identity entries — hence the catalog also contains
+    (infores:x → infores:x) rows for edge-coerced slots.
+    """
+    frames = []
+
+    def raw_to_infores(df: DataFrame, ksf: str, rewrite) -> DataFrame:
+        col = (
+            F.explode(ksf)
+            if dict(df.dtypes).get(ksf, "").startswith("array")
+            else F.col(ksf)
+        )
+        raw = df.select(col.alias("knowledge_source")).where(
+            F.col("knowledge_source").isNotNull()
+        ).distinct()
+        return raw.withColumn(
+            "infores", infores_curie(F.col("knowledge_source"), rewrite=rewrite)
+        )
+
+    for ksf, spec in specs.items():
+        mode = _spec_mode(spec)
+        if ksf not in PROVENANCE_SLOTS or mode not in ("coerce", "rewrite"):
+            continue
+        rewrite = tuple(spec) if mode == "rewrite" else None
+        if ksf == "provided_by" and nodes is not None and ksf in nodes.columns:
+            frames.append(raw_to_infores(nodes, ksf, rewrite))
+        if edges is not None and ksf in edges.columns:
+            mapped = raw_to_infores(edges, ksf, rewrite)
+            frames.append(mapped)
+            if ksf != "provided_by":  # the second-pass loop skips provided_by
+                frames.append(
+                    mapped.select(F.col("infores").alias("knowledge_source"), "infores")
+                )
+    if not frames:
+        spark = (nodes or edges).sparkSession
+        return spark.createDataFrame([], "knowledge_source string, infores string")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.distinct()
+
+
 def default_provenance(
     df: DataFrame, default: str, slot: str = "provided_by", multivalued: bool = True
 ) -> DataFrame:

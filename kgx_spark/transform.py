@@ -103,11 +103,26 @@ def read_source(spark: SparkSession, input_args: dict[str, Any]) -> Graph:
     else:
         raise ValueError(f"unknown source format: {fmt}")
 
+    # knowledge-source coercion knobs (the reference Transformer's
+    # input_args provenance map — kgx/utils/infores.py:326-459): entries
+    # named after provenance slots coerce/suppress/rewrite those columns
+    from kgx_spark.functions.infores import PROVENANCE_SLOTS, _spec_mode, apply_provenance_map
+
+    prov_specs = {k: input_args[k] for k in PROVENANCE_SLOTS if k in input_args}
+    pb_suppressed = _spec_mode(prov_specs["provided_by"]) == "suppress" if "provided_by" in prov_specs else False
+    if prov_specs:
+        if nodes is not None:
+            nodes = apply_provenance_map(nodes, prov_specs, is_node=True)
+        if edges is not None:
+            edges = apply_provenance_map(edges, prov_specs, is_node=False)
+
     # per-source provenance default from the record's own input filename
     # (transformer.py:211 uses os.path.basename(f); input_file_name() is the
     # distributed equivalent and is resolved at scan time, per row)
     default = input_args.get("default_provenance")
     for which in ("nodes", "edges"):
+        if pb_suppressed:
+            break  # a suppressed provided_by must not be re-filled
         df = nodes if which == "nodes" else edges
         if df is None:
             continue

@@ -720,3 +720,143 @@ def test_clique_merge_integration_edge_consolidation(spark):
 
     assert e.where(F.col("object") == "HGNC:7670").count() == 3
     assert e.where(F.col("subject") == "HGNC:7670").count() == 6
+
+
+# --------------------------------------------------------- infores coercion
+
+
+def _infores_transform(spark, **flags):
+    from kgx_spark.transform import read_source
+
+    return read_source(
+        spark,
+        {
+            "filename": [
+                f"{RES}/test_infores_coercion_nodes.tsv",
+                f"{RES}/test_infores_coercion_edges.tsv",
+            ],
+            "format": "tsv",
+            **flags,
+        },
+    )
+
+
+def _infores_catalog(spark, **flags):
+    from kgx_spark.functions.infores import transformer_infores_catalog
+    from kgx_spark.sources.tsv import read_kgx_tsv
+
+    nodes, edges = read_kgx_tsv(
+        spark,
+        [f"{RES}/test_infores_coercion_nodes.tsv", f"{RES}/test_infores_coercion_edges.tsv"],
+        fmt="tsv",
+    )
+    return {
+        r["knowledge_source"]: r["infores"]
+        for r in transformer_infores_catalog(nodes, edges, flags).collect()
+    }
+
+
+def test_infores_basic_formatting(spark):
+    """tests/integration/test_transform.py::test_transformer_infores_basic_formatting"""
+    nodes, edges = _infores_transform(
+        spark,
+        provided_by=True,
+        aggregator_knowledge_source=True,
+        primary_knowledge_source=True,
+    )
+    n = _by_id(nodes)
+    assert n["FlyBase:FBgn0000008"]["provided_by"] == ["infores:flybase-monarch-version-202012"]
+    assert n["GO:0005912"]["provided_by"] == ["infores:gene-ontology-monarch-version-202012"]
+    e = edges.collect()[0].asDict()
+    assert "infores:gene-ontology-monarch-version-202012" in e["aggregator_knowledge_source"]
+    assert e["primary_knowledge_source"] == "infores:monarch-initiative"
+
+
+def test_infores_suppression(spark):
+    """::test_transformer_infores_suppression — False drops the property."""
+    nodes, edges = _infores_transform(
+        spark,
+        provided_by=False,
+        aggregator_knowledge_source=False,
+        primary_knowledge_source=False,
+    )
+    assert "provided_by" not in nodes.columns
+    assert "aggregator_knowledge_source" not in edges.columns
+    assert "primary_knowledge_source" not in edges.columns
+
+
+def test_infores_parser_deletion_rewrite(spark):
+    """::test_transformer_infores_parser_deletion_rewrite — regex matches
+    deleted before coercion; catalog carries the reference's 3 entries
+    (incl. the double-processed identity row)."""
+    flags = dict(
+        provided_by=(r"\(.+\)", ""), aggregator_knowledge_source=(r"\(.+\)", "")
+    )
+    nodes, edges = _infores_transform(spark, **flags)
+    n = _by_id(nodes)
+    assert n["FlyBase:FBgn0000008"]["provided_by"] == ["infores:flybase"]
+    assert n["GO:0005912"]["provided_by"] == ["infores:gene-ontology"]
+    e = edges.collect()[0].asDict()
+    assert "infores:gene-ontology" in e["aggregator_knowledge_source"]
+    assert e["primary_knowledge_source"] == "Monarch Initiative"  # unmapped: intact
+
+    irc = _infores_catalog(spark, **flags)
+    assert len(irc) == 3
+    assert irc["Gene Ontology (Monarch version 202012)"] == "infores:gene-ontology"
+
+
+def test_infores_parser_substitution_rewrite(spark):
+    """::test_transformer_infores_parser_substitution_rewrite"""
+    flags = dict(
+        provided_by=(r"\(.+\)", "Monarch"),
+        aggregator_knowledge_source=(r"\(.+\)", "Monarch"),
+    )
+    nodes, edges = _infores_transform(spark, **flags)
+    n = _by_id(nodes)
+    assert n["FlyBase:FBgn0000008"]["provided_by"] == ["infores:flybase-monarch"]
+    assert n["GO:0005912"]["provided_by"] == ["infores:gene-ontology-monarch"]
+    e = edges.collect()[0].asDict()
+    assert "infores:gene-ontology-monarch" in e["aggregator_knowledge_source"]
+
+    irc = _infores_catalog(spark, **flags)
+    assert len(irc) == 3
+    assert irc["Gene Ontology (Monarch version 202012)"] == "infores:gene-ontology-monarch"
+
+
+def test_infores_parser_prefix_rewrite(spark):
+    """::test_transformer_infores_parser_prefix_rewrite"""
+    flags = dict(
+        provided_by=(r"\(.+\)", "", "Monarch"),
+        aggregator_knowledge_source=(r"\(.+\)", "", "Monarch"),
+    )
+    nodes, edges = _infores_transform(spark, **flags)
+    n = _by_id(nodes)
+    assert n["FlyBase:FBgn0000008"]["provided_by"] == ["infores:monarch-flybase"]
+    assert n["GO:0005912"]["provided_by"] == ["infores:monarch-gene-ontology"]
+    e = edges.collect()[0].asDict()
+    assert "infores:monarch-gene-ontology" in e["aggregator_knowledge_source"]
+
+    irc = _infores_catalog(spark, **flags)
+    assert len(irc) == 3
+    assert irc["Gene Ontology (Monarch version 202012)"] == "infores:monarch-gene-ontology"
+
+
+def test_infores_simple_prefix_rewrite(spark):
+    """::test_transformer_infores_simple_prefix_rewrite — empty regex means
+    no substitution, prefix still applies."""
+    flags = dict(
+        provided_by=(r"", "", "Fixed"), aggregator_knowledge_source=(r"", "", "Fixed")
+    )
+    nodes, edges = _infores_transform(spark, **flags)
+    n = _by_id(nodes)
+    assert n["FlyBase:FBgn0000008"]["provided_by"] == ["infores:fixed-flybase-monarch-version-202012"]
+    assert n["GO:0005912"]["provided_by"] == ["infores:fixed-gene-ontology-monarch-version-202012"]
+    e = edges.collect()[0].asDict()
+    assert "infores:fixed-gene-ontology-monarch-version-202012" in e["aggregator_knowledge_source"]
+
+    irc = _infores_catalog(spark, **flags)
+    assert len(irc) == 3
+    assert (
+        irc["Gene Ontology (Monarch version 202012)"]
+        == "infores:fixed-gene-ontology-monarch-version-202012"
+    )
