@@ -138,6 +138,12 @@ def apply_provenance_map(
             if ksf in df.columns:
                 df = df.drop(ksf)
             continue
+        if mode == "fill":
+            # a plain string fills missing values — creating the column
+            # when absent, as set_provenance's ksf-not-in-data branch does
+            # (infores.py:385-390)
+            df = default_provenance(df, str(spec), slot=ksf, multivalued=PROVENANCE_SLOTS[ksf])
+            continue
         if ksf not in df.columns:
             continue
         rewrite = tuple(spec) if mode == "rewrite" else None
@@ -148,9 +154,6 @@ def apply_provenance_map(
                 )
             else:
                 df = df.withColumn(ksf, infores_curie(F.col(ksf), rewrite=rewrite))
-        elif mode == "fill":
-            multivalued = PROVENANCE_SLOTS[ksf]
-            df = default_provenance(df, str(spec), slot=ksf, multivalued=multivalued)
     return df
 
 

@@ -26,6 +26,13 @@ from kgx_spark.schema import (
 _NULLISH = ("", " ")
 
 
+def _qcol(name: str) -> Column:
+    """Backtick-quoted column ref — undeclared long-tail headers can carry
+    dots (obo IRI columns like ':http://.../chebi/charge'), which bare
+    F.col/df[...] would parse as struct-field access."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def clean_string(col: Column) -> Column:
     """Strip newlines/tabs → space (kgx_utils.py:853-862), null out ''/' '."""
     cleaned = F.regexp_replace(col, r"[\n\t\r]", " ")
@@ -95,7 +102,7 @@ def sniff_list_columns(df: DataFrame, delimiter: str = LIST_DELIMITER) -> set[st
     probe = [c for c in undeclared if c not in wrapped]
     if probe:
         row = df.agg(
-            *[F.max(F.col(c).contains(delimiter)).alias(c) for c in probe]
+            *[F.max(_qcol(c).contains(delimiter)).alias(c) for c in probe]
         ).first()
         if row is not None:
             wrapped |= {c for c in probe if row[c]}
@@ -154,7 +161,7 @@ def sanitize_import(
         )
     out = []
     for field in df.schema.fields:
-        c = F.col(field.name)
+        c = _qcol(field.name)
         if field.name in BOOLEAN_PROPERTIES:
             expr = c if isinstance(field.dataType, T.BooleanType) else coerce_boolean(c)
         elif field.name in listcols:
@@ -195,7 +202,7 @@ def sanitize_export(df: DataFrame, delimiter: str = LIST_DELIMITER) -> DataFrame
     flag is data loss we choose not to reproduce."""
     out = []
     for field in df.schema.fields:
-        c = F.col(field.name)
+        c = _qcol(field.name)
         if isinstance(field.dataType, T.ArrayType):
             expr = F.array_join(F.transform(c, _export_scrub), delimiter)
         elif isinstance(field.dataType, T.BooleanType):

@@ -19,13 +19,14 @@ import tempfile
 
 from pyspark.sql import DataFrame
 
-from kgx_spark.operators.sanitize import sanitize_export
+from kgx_spark.operators.sanitize import _qcol, sanitize_export
 from kgx_spark.schema import EDGE_CORE_ORDER, NODE_CORE_ORDER, ordered_columns
 
 
 def _write(df: DataFrame, path: str, core_order: list[str], fmt: str, single_file: bool) -> None:
     cols = ordered_columns(df.columns, core_order)
-    out = sanitize_export(df.select(*cols))
+    # quoted refs: undeclared long-tail headers may carry dots (obo IRIs)
+    out = sanitize_export(df.select(*[_qcol(c).alias(c) for c in cols]))
     if single_file:
         out = out.coalesce(1)
     (

@@ -118,33 +118,41 @@ def read_source(spark: SparkSession, input_args: dict[str, Any]) -> Graph:
 
     # per-source provenance default from the record's own input filename
     # (transformer.py:211 uses os.path.basename(f); input_file_name() is the
-    # distributed equivalent and is resolved at scan time, per row)
+    # distributed equivalent and is resolved at scan time, per row).
+    # Node records always default `provided_by` (set_node_provenance +
+    # the unconditional provided_by mapping — infores.py:371-372,430-440);
+    # edge records default the generic `knowledge_source` slot instead,
+    # and ONLY when no provenance spec was given (the ksf_found==0 branch,
+    # infores.py:364-370 — any explicit spec replaces the generic default).
     default = input_args.get("default_provenance")
-    for which in ("nodes", "edges"):
-        if pb_suppressed:
-            break  # a suppressed provided_by must not be re-filled
-        df = nodes if which == "nodes" else edges
-        if df is None:
-            continue
+    base = F.split_part(
+        F.element_at(F.split(F.input_file_name(), "/"), -1), F.lit("."), F.lit(1)
+    )
+    if nodes is not None and not pb_suppressed:
         if default:
             # str or list — a multi-valued provenance stamps EVERY value
             values = default if isinstance(default, (list, tuple)) else [default]
             filler = F.array(*[F.lit(v) for v in values])
         else:
-            filler = F.array(F.split_part(
-                F.element_at(F.split(F.input_file_name(), "/"), -1), F.lit("."), F.lit(1)
-            ))
-        if "provided_by" not in df.columns:
-            df = df.withColumn("provided_by", filler)
+            filler = F.array(base)
+        if "provided_by" not in nodes.columns:
+            nodes = nodes.withColumn("provided_by", filler)
         else:
             cur = F.col("provided_by")
-            df = df.withColumn(
+            nodes = nodes.withColumn(
                 "provided_by", F.when(cur.isNull() | (F.size(cur) == 0), filler).otherwise(cur)
             )
-        if which == "nodes":
-            nodes = df
+    if edges is not None and not prov_specs:
+        scalar = (
+            F.lit(default if isinstance(default, str) else default[0])
+            if default
+            else base
+        )
+        if "knowledge_source" not in edges.columns:
+            edges = edges.withColumn("knowledge_source", scalar)
         else:
-            edges = df
+            cur = F.col("knowledge_source")
+            edges = edges.withColumn("knowledge_source", F.coalesce(cur, scalar))
 
     # filters (transformer.py:177-209 wiring)
     node_filters = input_args.get("node_filters") or {}

@@ -860,3 +860,69 @@ def test_infores_simple_prefix_rewrite(spark):
         irc["Gene Ontology (Monarch version 202012)"]
         == "infores:fixed-gene-ontology-monarch-version-202012"
     )
+
+
+def test_chebi_tsv_transform_with_knowledge_sources(spark, tmp_path):
+    """tests/unit/test_cli_utils.py::test_transform_uncompressed_tsv_to_tsv —
+    plain-string knowledge_sources specs fill missing slots and leave
+    present values intact: every written edge row carries the filled
+    'someks'/'someotherks', keeps its original 'chebiasc66dwf'
+    knowledge_source, never gains 'newknowledge', and lands on the
+    reference's 12-column layout."""
+    import csv
+    import glob
+
+    from kgx_spark.transform import transform
+
+    out = str(tmp_path / "chebi_snippet")
+    transform(
+        spark,
+        {
+            "filename": [
+                f"{RES}/chebi_kgx_tsv_nodes.tsv",
+                f"{RES}/chebi_kgx_tsv_edges.tsv",
+            ],
+            "format": "tsv",
+            "aggregator_knowledge_source": "someks",
+            "primary_knowledge_source": "someotherks",
+            "knowledge_source": "newknowledge",
+        },
+        {"filename": out, "format": "tsv", "single_file": True},
+    )
+    assert os.path.exists(f"{out}_nodes.tsv")
+    assert os.path.exists(f"{out}_edges.tsv")
+    (part,) = glob.glob(f"{out}_edges.tsv/part-*")
+    with open(part) as fd:
+        rows = csv.reader(fd, delimiter="\t", quotechar='"')
+        headings = next(rows)
+        assert "aggregator_knowledge_source" in headings
+        n = 0
+        for row in rows:
+            n += 1
+            assert len(row) == 12
+            assert "someks" in row
+            assert "someotherks" in row
+            assert "newknowledge" not in row
+            assert "chebiasc66dwf" in row
+        assert n > 0
+
+
+def test_chebi_tar_gz_transform(spark, tmp_path):
+    """::test_chebi_tsv_to_tsv_transform — the tar.gz-packaged chebi
+    fileset transforms cleanly with rewrite-tuple knowledge sources."""
+    from kgx_spark.transform import transform
+
+    out = str(tmp_path / "test_chebi")
+    nodes, edges = transform(
+        spark,
+        {
+            "filename": [f"{RES}/chebi_kgx_tsv.tar.gz"],
+            "format": "tsv",
+            "aggregator_knowledge_source": ("test1",),
+            "primary_knowledge_source": ("test2",),
+        },
+        {"filename": out, "format": "tsv", "single_file": True},
+    )
+    assert os.path.exists(f"{out}_nodes.tsv")
+    assert os.path.exists(f"{out}_edges.tsv")
+    assert nodes.count() > 0 and edges.count() > 0

@@ -67,8 +67,11 @@ def test_merge_two_sources(spark, tsv_dir, tmp_path):
     assert edges.count() == 2  # (HGNC:1,related_to,MONDO:1) deduped
     h1 = nodes.where(F.col("id") == "HGNC:1").first()
     assert sorted(h1["provided_by"]) == ["g_nodes", "h_nodes"]
+    # edge records default the generic knowledge_source slot from the
+    # filename (infores.py:364-370 ksf_found==0 branch), NOT provided_by —
+    # the two sources' scalars merge per prepare_data_dict conflict rules
     e = edges.where(F.col("object") == "MONDO:1").first()
-    assert sorted(e["provided_by"]) == ["g_edges", "h_edges"]
+    assert sorted(e["knowledge_source"].split("|")) == ["g_edges", "h_edges"]
 
 
 def test_trapi_roundtrip(spark, tmp_path):
