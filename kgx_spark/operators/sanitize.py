@@ -23,14 +23,9 @@ from kgx_spark.schema import (
     SINGLE_VALUED_PROPERTIES,
 )
 
+from kgx_spark.utils import qcol as _qcol
+
 _NULLISH = ("", " ")
-
-
-def _qcol(name: str) -> Column:
-    """Backtick-quoted column ref — undeclared long-tail headers can carry
-    dots (obo IRI columns like ':http://.../chebi/charge'), which bare
-    F.col/df[...] would parse as struct-field access."""
-    return F.col("`" + name.replace("`", "``") + "`")
 
 
 def clean_string(col: Column) -> Column:

@@ -29,10 +29,14 @@ def _errors(df: DataFrame, cond: Column, entity: Column, error_type: str, messag
 def validate_nodes(nodes: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(valid nodes with defaulted category, errors).
 
-    - missing/empty id ⇒ rejected (source.py:286-296);
+    - missing/empty id ⇒ rejected (source.py:286-296) — including a file
+      with no id COLUMN at all (the reference's incomplete_nodes.tsv case:
+      every record routes to the error side-output, nothing crashes);
     - missing category ⇒ defaulted to [biolink:NamedThing] (source.py:305-309);
     - missing name ⇒ warning only (source.py:298-303) — kept.
     """
+    if "id" not in nodes.columns:
+        nodes = nodes.withColumn("id", F.lit(None).cast("string"))
     bad_id = F.col("id").isNull() | (F.col("id") == "")
     errors = _errors(
         nodes, bad_id, F.coalesce(F.col("id"), F.lit("")), "MISSING_NODE_PROPERTY",
@@ -53,6 +57,10 @@ def validate_nodes(nodes: DataFrame) -> tuple[DataFrame, DataFrame]:
 def validate_edges(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(valid edges, errors) — reject missing subject/predicate/object
     (source.py:323-366)."""
+    for c in ("subject", "predicate", "object"):
+        if c not in edges.columns:  # same no-column guard as validate_nodes
+            edges = edges.withColumn(c, F.lit(None).cast("string"))
+
     def missing(c: str) -> Column:
         return F.col(c).isNull() | (F.col(c) == "")
 

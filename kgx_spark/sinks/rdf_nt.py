@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from kgx_spark.utils import qcol
 from pyspark.sql import types as T
 
 from kgx_spark.functions.curie import expand
@@ -46,12 +48,12 @@ def _node_term_rows(nodes: DataFrame) -> DataFrame:
         is_resource = SLOT_TYPES.get(field.name, ("string", False))[0] == "uriorcurie"
         if isinstance(field.dataType, T.ArrayType):
             base = (
-                nodes.where(F.col(field.name).isNotNull())
-                .select(F.col("id"), F.explode(F.col(field.name)).alias("v"))
+                nodes.where(qcol(field.name).isNotNull())
+                .select(F.col("id"), F.explode(qcol(field.name)).alias("v"))
             )
         else:
-            base = nodes.where(F.col(field.name).isNotNull()).select(
-                F.col("id"), F.col(field.name).alias("v")
+            base = nodes.where(qcol(field.name).isNotNull()).select(
+                F.col("id"), qcol(field.name).alias("v")
             )
         rows.append(
             base.select(
@@ -86,7 +88,7 @@ def _edge_term_rows(edges: DataFrame, reify: bool) -> DataFrame:
             edges.select(
                 stmt.alias("s"),
                 F.lit(f"{rdf}{role}").alias("p"),
-                expand(F.col(col)).alias("o"),
+                expand(qcol(col)).alias("o"),
                 F.lit(False).alias("o_literal"),
             )
         )

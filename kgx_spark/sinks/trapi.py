@@ -28,6 +28,8 @@ import json
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from kgx_spark.utils import qcol
 from pyspark.sql import types as T
 
 # trapi_sink.py:227-228 / 299-301
@@ -72,7 +74,7 @@ def _attr_json(
     biolink:<key> attributes. ``value_types``/``list_wrap`` differ per entity
     kind — the edge path special-cases only provided_by."""
     dtype = dict(df.dtypes)[name]
-    c = F.col(name)
+    c = qcol(name)
     type_id = name if name.startswith("biolink:") else f"biolink:{name}"
     fields = [F.lit(type_id).alias("attribute_type_id")]
     if name in list_wrap and not dtype.startswith("array"):
@@ -191,11 +193,11 @@ def _qualifiers_json(edges: DataFrame) -> Column:
         return F.lit("")
     pieces = [
         F.when(
-            F.col(c).isNotNull(),
+            qcol(c).isNotNull(),
             F.to_json(
                 F.struct(
                     F.lit(c if c.startswith("biolink:") else f"biolink:{c}").alias("qualifier_type_id"),
-                    F.col(c).cast("string").alias("qualifier_value"),
+                    qcol(c).cast("string").alias("qualifier_value"),
                 )
             ),
         )

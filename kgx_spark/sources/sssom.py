@@ -16,6 +16,8 @@ import yaml
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kgx_spark.utils import qcol
+
 from kgx_spark.functions.keys import generate_edge_identifiers
 from kgx_spark.operators.validate import validate_edges, validate_nodes
 
@@ -97,7 +99,7 @@ def read_sssom(
         F.col("object_id").alias("object"),
     ]
     for c in sorted(cols - _CORE_MAPPING_COLS):
-        edge_sel.append(F.col(c))
+        edge_sel.append(qcol(c))
     # set-level metadata copied onto every edge (sssom_source.py:282-292)
     for k, v in sorted(meta.items()):
         if isinstance(v, (str, int, float, bool)) and k not in cols:

@@ -12,6 +12,14 @@ from pyspark.sql import functions as F
 BROADCAST_ROW_LIMIT = 200_000
 
 
+def qcol(name: str):
+    """Backtick-quoted column reference. Long-tail property names from
+    ingested files can carry dots (obo IRI headers like
+    ':http://.../chebi/charge'), which bare F.col parses as struct-field
+    access — quote whenever the name is data-derived."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def conditional_broadcast(df: DataFrame, row_limit: int | None = None) -> DataFrame:
     """Broadcast-hint ``df`` only when it is provably small.
 

@@ -926,3 +926,19 @@ def test_chebi_tar_gz_transform(spark, tmp_path):
     assert os.path.exists(f"{out}_nodes.tsv")
     assert os.path.exists(f"{out}_edges.tsv")
     assert nodes.count() > 0 and edges.count() > 0
+
+
+def test_incomplete_nodes_fixture(spark):
+    """tests/unit/test_source/test_tsv_source.py::test_incorrect_nodes — a
+    node record with no 'id' column parses without crashing; validation
+    routes it to the error side-output rather than the node stream."""
+    from kgx_spark.operators.sanitize import sanitize_import
+    from kgx_spark.operators.validate import validate_nodes
+    from kgx_spark.sources.tsv import _read_table, read_nodes_tsv
+
+    nodes = read_nodes_tsv(spark, f"{RES}/incomplete_nodes.tsv", fmt="tsv")
+    assert nodes.count() == 0  # the single record lacks an id
+
+    raw = sanitize_import(_read_table(spark, f"{RES}/incomplete_nodes.tsv", fmt="tsv"))
+    _, errors = validate_nodes(raw)
+    assert errors.count() >= 1
