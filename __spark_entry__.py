@@ -252,6 +252,40 @@ def q_infores(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_provenance_coercion(spark: SparkSession, sf: str) -> DataFrame:
+    """The transformer provenance map end-to-end (kgx/utils/infores.py:
+    326-459 via functions.infores.apply_provenance_map): a rewrite tuple on
+    a list slot (element-wise, infores:* pass-through), True-coercion on a
+    scalar slot, a plain-string fill creating a missing slot, and False
+    suppression of an absent one."""
+    from kgx_spark.functions.infores import apply_provenance_map
+
+    supp = spark.read.parquet(f"{sf}/supplier.parquet")
+    df = supp.select(
+        F.concat(F.lit("S:"), "s_suppkey").alias("subject"),
+        F.array(F.col("s_name"), F.lit("infores:already")).alias(
+            "aggregator_knowledge_source"
+        ),
+        F.col("s_name").alias("primary_knowledge_source"),
+    )
+    out = apply_provenance_map(
+        df,
+        {
+            "aggregator_knowledge_source": ("Supplier#0*", "vendor "),
+            "primary_knowledge_source": True,
+            "knowledge_source": "somedefault",
+            "original_knowledge_source": False,
+        },
+        is_node=False,
+    )
+    return out.select(
+        "subject",
+        F.array_join("aggregator_knowledge_source", "|").alias("aggregator_ks"),
+        F.col("primary_knowledge_source").alias("primary_ks"),
+        F.col("knowledge_source").alias("ks"),
+    )
+
+
 def q_curie_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     nation = spark.read.parquet(f"{sf}/nation.parquet")
     iri = F.concat(F.lit("http://identifiers.org/hgnc/"), "n_nationkey")
@@ -1844,6 +1878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6 additions (never-rowed; queued for the r07 rotation)
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
+        "provenance_coercion": q_provenance_coercion,
     }
 
 
@@ -2196,6 +2231,14 @@ def oracle_sql() -> dict[str, str]:
                        '\\.+', '_', 'g'),
                        '[^\\p{L}\\p{Nd}\\p{Nl}\\p{No}_]', '', 'g'), '_', '-') AS infores_rewritten
             FROM (SELECT DISTINCT s_name AS source_name FROM supplier)
+        """,
+        "provenance_coercion": """
+            SELECT 'S:' || s_suppkey AS subject,
+                   'infores:' || replace(regexp_replace(regexp_replace(regexp_replace(lower(regexp_replace(regexp_replace(s_name, 'Supplier#0*', 'vendor ', 'g'), '^[\\t\\n\\x0B\\f\\r \\x1C-\\x1F\\x85\\p{Zs}\\p{Zl}\\p{Zp}]+|[\\t\\n\\x0B\\f\\r \\x1C-\\x1F\\x85\\p{Zs}\\p{Zl}\\p{Zp}]+$', '', 'g')), '[\\t\\n\\x0B\\f\\r \\x1C-\\x1F\\x85\\p{Zs}\\p{Zl}\\p{Zp}]+', '_', 'g'), '\\.+', '_', 'g'), '[^\\p{L}\\p{Nd}\\p{Nl}\\p{No}_]', '', 'g'), '_', '-')
+                       || '|infores:already' AS aggregator_ks,
+                   'infores:' || replace(regexp_replace(regexp_replace(regexp_replace(lower(regexp_replace(s_name, '^[\\t\\n\\x0B\\f\\r \\x1C-\\x1F\\x85\\p{Zs}\\p{Zl}\\p{Zp}]+|[\\t\\n\\x0B\\f\\r \\x1C-\\x1F\\x85\\p{Zs}\\p{Zl}\\p{Zp}]+$', '', 'g')), '[\\t\\n\\x0B\\f\\r \\x1C-\\x1F\\x85\\p{Zs}\\p{Zl}\\p{Zp}]+', '_', 'g'), '\\.+', '_', 'g'), '[^\\p{L}\\p{Nd}\\p{Nl}\\p{No}_]', '', 'g'), '_', '-') AS primary_ks,
+                   'somedefault' AS ks
+            FROM supplier
         """,
         "curie_roundtrip": """
             SELECT 'http://identifiers.org/hgnc/' || n_nationkey AS iri,
