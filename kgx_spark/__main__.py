@@ -160,10 +160,16 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "merge":
         import yaml
 
-        from kgx_spark.transform import merge
+        from kgx_spark.transform import merge, merge_config
 
         with open(args.config) as fh:
             cfg = yaml.safe_load(fh)
+        if "merged_graph" in cfg:
+            # the reference's `kgx merge --merge-config` YAML shape
+            # (cli_utils.py:723-901; tests/resources/test-merge.yaml)
+            nodes, edges = merge_config(spark, args.config)
+            print(json.dumps({"nodes": nodes.count(), "edges": edges.count()}))
+            return 0
         sources = [
             {"filename": s["input"]["filename"], "format": s["input"]["format"]}
             for s in cfg["configuration"]["sources"].values()

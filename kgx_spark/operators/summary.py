@@ -100,14 +100,35 @@ def dangling_edges(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     return no_subj.unionByName(no_obj).distinct()
 
 
-def summarize_graph(nodes: DataFrame, edges: DataFrame, name: str | None = None) -> dict:
+def _with_facet(df: DataFrame, facet: str, cols: list) -> DataFrame:
+    """Append a 'value' facet column: arrays explode (sequentially — one
+    generator per select), missing property/value → 'unknown'
+    (summarize_graph.py:790-801 get_facet_counts else-branch)."""
+    if facet not in df.columns:
+        return df.select(*cols, F.lit("unknown").alias("value"))
+    if dict(df.dtypes).get(facet, "").startswith("array"):
+        return df.select(*cols, F.explode_outer(facet).alias("_v")).select(
+            *cols, F.coalesce("_v", F.lit("unknown")).alias("value")
+        )
+    return df.select(*cols, F.coalesce(F.col(facet), F.lit("unknown")).alias("value"))
+
+
+def summarize_graph(
+    nodes: DataFrame,
+    edges: DataFrame,
+    name: str | None = None,
+    node_facet_properties: list[str] | None = None,
+    edge_facet_properties: list[str] | None = None,
+) -> dict:
     """Driver-side roll-up in GraphSummary.save's exact YAML shape
     (summarize_graph.py:816-837, parity-pinned by the ported
     test_summarize_graph vectors): counts nested as ``{"count": N}``, an
     ``unknown`` bucket (always present; category-less nodes and
     uncategorized edge endpoints land there), plus the ``node_categories``
-    and ``predicates`` catalogs. Small results only — each entry is an
-    aggregate, not row data."""
+    and ``predicates`` catalogs. Facet properties nest per-value counts
+    under each category/predicate/spo entry and record the seen-value
+    catalog at the top level (summarize_graph.py:347-355,489-515,767-801).
+    Small results only — each entry is an aggregate, not row data."""
     cat_rows = (
         nodes.select(F.explode_outer("category").alias("category"))
         .groupBy("category")
@@ -140,19 +161,71 @@ def summarize_graph(nodes: DataFrame, edges: DataFrame, name: str | None = None)
         .agg(F.count("*").alias("count"))
         .collect()
     )
+    count_by_spo = {
+        f'{r["sc"]}-{r["p"]}-{r["oc"]}': {"count": r["count"]} for r in spo_rows
+    }
+
+    node_stats: dict = {
+        "total_nodes": nodes.count(),
+        "node_categories": sorted(k for k in count_by_cat if k != "unknown"),
+        "count_by_category": count_by_cat,
+    }
+    for facet in node_facet_properties or []:
+        seen: set[str] = set()
+        base = nodes.select(
+            F.explode_outer("category").alias("category"),
+            *([facet] if facet in nodes.columns else []),
+        )
+        rows = (
+            _with_facet(base, facet, ["category"])
+            .groupBy("category", "value")
+            .agg(F.count("*").alias("count"))
+            .collect()
+        )
+        for r in rows:
+            cat = r["category"] or "unknown"
+            count_by_cat.setdefault(cat, {"count": 0}).setdefault(facet, {})[
+                r["value"]
+            ] = {"count": r["count"]}
+            seen.add(r["value"])
+        node_stats[facet] = sorted(seen)
+
+    edge_stats: dict = {
+        "total_edges": edges.count(),
+        "predicates": sorted(k for k in count_by_pred if k != "unknown"),
+        "count_by_predicates": count_by_pred,
+        "count_by_spo": count_by_spo,
+    }
+    for facet in edge_facet_properties or []:
+        seen = set()
+        frows = (
+            _with_facet(edges, facet, ["subject", "predicate", "object"])
+            .join(subj, "subject", "left")
+            .join(obj, "object", "left")
+            .groupBy(
+                F.coalesce("_sc", F.lit("unknown")).alias("sc"),
+                F.coalesce("predicate", F.lit("unknown")).alias("p"),
+                F.coalesce("_oc", F.lit("unknown")).alias("oc"),
+                "value",
+            )
+            .agg(F.count("*").alias("count"))
+            .collect()
+        )
+        for r in frows:
+            count_by_pred.setdefault(r["p"], {"count": 0}).setdefault(facet, {})
+            fp = count_by_pred[r["p"]][facet]
+            fp.setdefault(r["value"], {"count": 0})["count"] = (
+                fp.get(r["value"], {}).get("count", 0) + r["count"]
+            )
+            key = f'{r["sc"]}-{r["p"]}-{r["oc"]}'
+            count_by_spo.setdefault(key, {"count": 0}).setdefault(facet, {})[
+                r["value"]
+            ] = {"count": r["count"]}
+            seen.add(r["value"])
+        edge_stats[facet] = sorted(seen)
+
     return {
         "graph_name": name,
-        "node_stats": {
-            "total_nodes": nodes.count(),
-            "node_categories": sorted(k for k in count_by_cat if k != "unknown"),
-            "count_by_category": count_by_cat,
-        },
-        "edge_stats": {
-            "total_edges": edges.count(),
-            "predicates": sorted(k for k in count_by_pred if k != "unknown"),
-            "count_by_predicates": count_by_pred,
-            "count_by_spo": {
-                f'{r["sc"]}-{r["p"]}-{r["oc"]}': {"count": r["count"]} for r in spo_rows
-            },
-        },
+        "node_stats": node_stats,
+        "edge_stats": edge_stats,
     }

@@ -414,3 +414,129 @@ def merge(
         nodes, edges = apply_graph_operations(nodes, edges, operations)
     write_sink(nodes, edges, output_args)
     return nodes, edges
+
+
+def merge_config(
+    spark: SparkSession,
+    config_path: str,
+    source: list[str] | None = None,
+    destination: list[str] | None = None,
+) -> Graph:
+    """`kgx merge --merge-config` YAML orchestration (cli_utils.py:723-901),
+    accepting the reference's exact config shape
+    (tests/resources/test-merge.yaml):
+
+        configuration: {output_directory, checkpoint}
+        merged_graph:
+          name: ...
+          source:
+            <key>: {name, input: {format, filename: [...],
+                                  filters: {node_filters, edge_filters}}}
+          operations:
+            - name: kgx.graph_operations.summarize_graph.generate_graph_stats
+              args: {graph_name, filename, node/edge_facet_properties}
+          destination:
+            <key>: {format, compression, filename: [...]}
+
+    Relative input paths resolve against the config directory, outputs and
+    stats files against ``output_directory``; ``checkpoint: true`` snapshots
+    each source as TSV into the output directory under its key
+    (cli_utils.py:953-956). ``source``/``destination`` restrict to the named
+    keys (the reference's CLI flags). The merged graph is cached across the
+    N destination writes so each sink reuses one evaluation.
+    """
+    import os
+
+    import yaml
+
+    cwd = os.path.dirname(os.path.abspath(config_path))
+    with open(config_path) as fh:
+        cfg = yaml.safe_load(fh)
+    conf = cfg.get("configuration") or {}
+    output_directory = conf.get("output_directory") or "output"
+    if not os.path.isabs(output_directory):
+        output_directory = os.path.normpath(os.path.join(cwd, output_directory))
+    os.makedirs(output_directory, exist_ok=True)
+
+    mg = cfg["merged_graph"]
+    sources_cfg = mg["source"]
+    keys = list(source) if source else list(sources_cfg.keys())
+    unknown = [k for k in keys if k not in sources_cfg]
+    if unknown:
+        raise ValueError(f"unknown source keys in --source: {unknown}")
+
+    checkpoint = bool(conf.get("checkpoint"))
+    graphs: list[Graph] = []
+    for key in keys:
+        sp = sources_cfg[key]
+        inp = sp["input"]
+        filenames = inp.get("filename")
+        if isinstance(filenames, str):
+            filenames = [filenames]
+        resolved = [
+            f if os.path.isabs(f) else os.path.normpath(os.path.join(cwd, f))
+            for f in filenames
+        ]
+        input_args: dict[str, Any] = {
+            "filename": resolved if len(resolved) != 1 else resolved[0],
+            "format": inp["format"],
+        }
+        filters = sp.get("filters") or inp.get("filters") or {}
+        if filters.get("node_filters"):
+            input_args["node_filters"] = filters["node_filters"]
+        if filters.get("edge_filters"):
+            input_args["edge_filters"] = filters["edge_filters"]
+        pb = inp.get("provided_by") or sp.get("name")
+        if pb:
+            input_args["default_provenance"] = pb
+        g = read_source(spark, input_args)
+        if checkpoint:
+            write_sink(*g, {"filename": os.path.join(output_directory, key), "format": "tsv"})
+        graphs.append(g)
+
+    nodes, edges = merge_graphs(graphs, preserve=True)
+
+    for op in mg.get("operations") or []:
+        opname = op["name"].rsplit(".", 1)[-1]
+        args = dict(op.get("args") or {})
+        if opname == "generate_graph_stats":
+            # the reference's merge-YAML stats operation (cli_utils.py:870-886):
+            # summarize the merged graph, dump YAML into the output directory
+            from kgx_spark.operators.summary import summarize_graph
+
+            stats = summarize_graph(
+                nodes,
+                edges,
+                name=args.get("graph_name"),
+                node_facet_properties=args.get("node_facet_properties"),
+                edge_facet_properties=args.get("edge_facet_properties"),
+            )
+            stats_path = args.get("filename") or "graph_stats.yaml"
+            if not os.path.isabs(stats_path):
+                stats_path = os.path.join(output_directory, stats_path)
+            with open(stats_path, "w") as fh:
+                yaml.safe_dump(stats, fh)
+        else:
+            nodes, edges = apply_graph_operations(nodes, edges, [op])
+
+    dests = mg.get("destination") or {}
+    dkeys = list(destination) if destination else list(dests.keys())
+    unknown = [k for k in dkeys if k not in dests]
+    if unknown:
+        raise ValueError(f"unknown destination keys in --destination: {unknown}")
+    if len(dkeys) > 1:
+        nodes = nodes.cache() if nodes is not None else None
+        edges = edges.cache() if edges is not None else None
+    for key in dkeys:
+        d = dests[key]
+        ofn = d.get("filename") or key
+        if isinstance(ofn, list):
+            ofn = ofn[0]
+        if not os.path.isabs(ofn):
+            ofn = os.path.join(output_directory, ofn)
+        out_args: dict[str, Any] = {"filename": ofn, "format": d["format"]}
+        comp = d.get("compression")
+        if comp and str(comp) != "None":
+            out_args["compression"] = comp
+        write_sink(nodes, edges, out_args)
+    return nodes, edges

@@ -942,3 +942,78 @@ def test_incomplete_nodes_fixture(spark):
     raw = sanitize_import(_read_table(spark, f"{RES}/incomplete_nodes.tsv", fmt="tsv"))
     _, errors = validate_nodes(raw)
     assert errors.count() >= 1
+
+
+# ----------------------------------------------------------- YAML configs
+
+
+def _patched_config(src_yaml, tmp_path):
+    """Copy a reference YAML config, absolutizing inputs against the
+    resource dir and pointing output_directory at tmp (the reference
+    checkout is read-only here)."""
+    import yaml
+
+    with open(src_yaml) as fh:
+        cfg = yaml.safe_load(fh)
+    cfg.setdefault("configuration", {})["output_directory"] = str(tmp_path / "target")
+    block = cfg.get("transform") or cfg.get("merged_graph")
+    for sp in block["source"].values():
+        sp["input"]["filename"] = [
+            os.path.join(RES, f) for f in sp["input"]["filename"]
+        ]
+    # the reference merge-yaml stats op writes via an absolute-ish filename
+    out = tmp_path / "cfg.yaml"
+    out.write_text(yaml.safe_dump(cfg))
+    return str(out)
+
+
+def test_transform_yaml_fixture(spark, tmp_path):
+    """tests/unit/test_cli_utils.py::test_transform2 — the reference's OWN
+    test-transform.yaml through transform_config: three sources (tsv→json,
+    tsv→tsv, json→tsv) all produce graphs and output files."""
+    from kgx_spark.transform import transform_config
+
+    cfg = _patched_config(f"{RES}/test-transform.yaml", tmp_path)
+    results = transform_config(spark, cfg)
+    assert set(results) == {"test_graph", "other_graph", "valid_graph"}
+    n, e = results["test_graph"]
+    assert n.count() == 534  # raw records (22 duplicate ids); dedup is downstream
+    assert e.count() == 539
+    vn, ve = results["valid_graph"]
+    assert vn.count() == 15 and ve.count() == 5
+    target = tmp_path / "target"
+    assert (target / "grapher.json").exists() or (target / "grapher").exists()
+
+
+def test_merge_yaml_fixture(spark, tmp_path):
+    """::test_merge_wrapper + integration test_merge1 — the reference's OWN
+    test-merge.yaml through merge_config: category-filtered test_graph
+    merges with valid.json; the legacy edge_label filter key (absent from
+    edge data) drops every test_graph edge, exactly as the reference's
+    check_edge_filter does; stats YAML lands with provided_by facets; both
+    destinations are written."""
+    import yaml
+
+    from kgx_spark.transform import merge_config
+
+    cfg = _patched_config(f"{RES}/test-merge.yaml", tmp_path)
+    nodes, edges = merge_config(spark, cfg)
+
+    # all 539 test_graph edges fail the edge_label filter; valid.json's 5 remain
+    assert edges.count() == 5
+    cats = {c for r in nodes.select("category").collect() for c in (r["category"] or [])}
+    assert "biolink:Gene" in cats and "biolink:Disease" in cats
+
+    target = tmp_path / "target"
+    stats = yaml.safe_load((target / "merged-kg_stats.yaml").read_text())
+    assert stats["graph_name"] == "Merged Graph"
+    assert "provided_by" in stats["node_stats"]
+    gene = stats["node_stats"]["count_by_category"]["biolink:Gene"]
+    assert "provided_by" in gene and gene["count"] > 0
+    assert "provided_by" in stats["edge_stats"]
+
+    assert (target / "merged-graph_nodes.tsv").exists()
+    assert (target / "merged-graph_edges.tsv").exists()
+    assert (target / "merged-graph.json").exists()
+    # checkpoint: true snapshots each source as TSV under its key
+    assert (target / "test_graph_nodes.tsv").exists()
