@@ -12,6 +12,7 @@ provenance default (input filename) is applied as a column expression.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -125,9 +126,19 @@ def read_source(spark: SparkSession, input_args: dict[str, Any]) -> Graph:
     # and ONLY when no provenance spec was given (the ksf_found==0 branch,
     # infores.py:364-370 — any explicit spec replaces the generic default).
     default = input_args.get("default_provenance")
-    base = F.split_part(
-        F.element_at(F.split(F.input_file_name(), "/"), -1), F.lit("."), F.lit(1)
-    )
+    if fmt in ("tsv", "csv"):
+        # direct file scans: per-row filename (a fileset mixes
+        # {base}_nodes/{base}_edges files — each row names its own)
+        base = F.split_part(
+            F.element_at(F.split(F.input_file_name(), "/"), -1), F.lit("."), F.lit(1)
+        )
+    else:
+        # derived frames (NT/obograph/TRAPI nodes come from unions and
+        # aggregations — input_file_name() rejects multi-source lineage):
+        # one driver-side literal from the input path, the same value the
+        # reference computes once per parse (transformer.py:211)
+        first = path[0] if isinstance(path, (list, tuple)) else path
+        base = F.lit(os.path.basename(str(first)).split(".")[0])
     if nodes is not None and not pb_suppressed:
         if default:
             # str or list — a multi-valued provenance stamps EVERY value

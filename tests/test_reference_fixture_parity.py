@@ -1017,3 +1017,25 @@ def test_merge_yaml_fixture(spark, tmp_path):
     assert (target / "merged-graph.json").exists()
     # checkpoint: true snapshots each source as TSV under its key
     assert (target / "test_graph_nodes.tsv").exists()
+
+
+def test_transform_rdf_yaml_fixtures(spark, tmp_path):
+    """::test_transform_rdf_to_tsv + ::test_transform_tsv_to_rdf — the
+    reference's nt→tsv and tsv→nt transform YAMLs end-to-end."""
+    from kgx_spark.transform import transform_config
+
+    cfg = _patched_config(f"{RES}/test-transform-rdf-tsv.yaml", tmp_path)
+    results = transform_config(spark, cfg)
+    n, e = results["test_graph"]
+    assert n.count() > 0 and e.count() > 0
+    target = tmp_path / "target"
+    assert (target / "test-transform-rdf_nodes.tsv").exists()
+    assert (target / "test-transform-rdf_edges.tsv").exists()
+
+    tmp2 = tmp_path / "second"
+    tmp2.mkdir()
+    cfg2 = _patched_config(f"{RES}/test-transform-tsv-rdf.yaml", tmp2)
+    results2 = transform_config(spark, cfg2)
+    n2, e2 = results2["test_graph"]
+    assert n2.count() > 0 and e2.count() > 0
+    assert (tmp2 / "target" / "test-tranform-tsv-rdf.nt").exists()
