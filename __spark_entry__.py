@@ -1508,11 +1508,14 @@ def q_tsv_tar_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     (tsv_sink.py:39-238 + tsv_source.py:83-113): reference column ordering,
     '|'-list join/split, tar packaging, delimiter sniffing on re-read."""
     from kgx_spark.sinks.tsv import write_kgx_tsv
-    from kgx_spark.sources.tsv import read_kgx_tsv
+    from kgx_spark.transform import read_source
 
     base = os.path.join(tempfile.mkdtemp(prefix="kgx_tar_"), "graph")
     write_kgx_tsv(FX.nodes_a(spark, sf), FX.edges(spark, sf), base, compression="tar.gz")
-    nodes, edges = read_kgx_tsv(spark, base + ".tar.gz")
+    # graph-mode load: read_source applies the reference Transformer's
+    # graph-insertion dedup (edges keyed by (s, predicate, o) —
+    # tsv_source.py:273), so duplicate (s,p,o) records collapse on re-read
+    nodes, edges = read_source(spark, {"filename": base + ".tar.gz", "format": "tsv"})
     n = nodes.select(
         "id", "name", _joined("category"), _joined("provided_by"), "p1", _joined("xref")
     )
@@ -2903,7 +2906,11 @@ def oracle_sql() -> dict[str, str]:
                    'infores:part' AS provided_by,
                    CASE WHEN p_partkey % 2 = 0 THEN 'even' ELSE 'odd' END AS p1,
                    'X:' || p_partkey AS xref,
-                   (SELECT count(*) FROM lineitem WHERE l_partkey = p_partkey)::BIGINT AS n_edges
+                   -- the TSV source keys edges by (s, predicate, o), the
+                   -- reference's generate_edge_key (tsv_source.py:273), so
+                   -- duplicate (s,p,o) records collapse on re-read
+                   (SELECT count(DISTINCT (l_linenumber % 2, l_suppkey))
+                    FROM lineitem WHERE l_partkey = p_partkey)::BIGINT AS n_edges
             FROM part
         """,
         "json_roundtrip": """

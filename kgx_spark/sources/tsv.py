@@ -51,6 +51,10 @@ def read_nodes_tsv(
     df = sanitize_import(_read_table(spark, path, fmt), sniff=sniff)
     if validate:
         df, _ = validate_nodes(df)
+    # raw records, as the reference's TsvSource generator yields them —
+    # graph-insertion dedup (534 records → 512 nodes) happens one layer up,
+    # in transform.read_source, exactly where the reference's Transformer
+    # inserts into its graph
     return df
 
 
@@ -63,6 +67,8 @@ def read_edges_tsv(
     df = generate_edge_identifiers(df)
     if validate:
         df, _ = validate_edges(df)
+    # raw records (see read_nodes_tsv) — the (s, predicate, o) edge-key
+    # dedup happens in transform.read_source
     return df
 
 

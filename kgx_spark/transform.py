@@ -165,9 +165,39 @@ def read_source(spark: SparkSession, input_args: dict[str, Any]) -> Graph:
             cur = F.col("knowledge_source")
             edges = edges.withColumn("knowledge_source", F.coalesce(cur, scalar))
 
-    # filters (transformer.py:177-209 wiring)
-    node_filters = input_args.get("node_filters") or {}
-    edge_filters = input_args.get("edge_filters") or {}
+    # graph-insertion dedup (the reference Transformer keys its graph by
+    # node id and by generate_edge_key(s, predicate, o) — ALWAYS (s,p,o),
+    # even when the record carries an id, tsv_source.py:273 — so its graph
+    # fixture's 534/539 records load as 512 nodes / 531 edges). Reference
+    # rule is last-record-wins; dropDuplicates keeps an arbitrary record —
+    # identical on exact duplicates, documented divergence otherwise (no
+    # stable record order exists in a distributed scan). Runs AFTER the
+    # provenance fill (input_file_name() cannot survive the dedup
+    # exchange) and only for TSV/CSV — the structured sources
+    # (RDF/obograph/TRAPI) already dedupe by their own pinned keys.
+    if fmt in ("tsv", "csv"):
+        if nodes is not None:
+            nodes = nodes.dropDuplicates(["id"])
+        if edges is not None:
+            edges = edges.dropDuplicates(["subject", "predicate", "object"])
+
+    # filters (transformer.py:177-209 wiring). The reference CROSS-WIRES
+    # category filters (source.py:136-245): a node 'category' filter also
+    # sets the edge subject_category/object_category filters, and either
+    # of those merges back into the node 'category' filter — so
+    # edge-category-only queries reduce the node stream too (its
+    # stream-transform test 6 pins 133 nodes from a category-less
+    # node_filters input).
+    node_filters = dict(input_args.get("node_filters") or {})
+    edge_filters = dict(input_args.get("edge_filters") or {})
+    cat = set(node_filters.get("category") or ())
+    sc = set(edge_filters.get("subject_category") or ())
+    oc = set(edge_filters.get("object_category") or ())
+    if cat:
+        edge_filters["subject_category"] = sc | cat
+        edge_filters["object_category"] = oc | cat
+    if sc or oc:
+        node_filters["category"] = cat | sc | oc
     if node_filters and nodes is not None:
         nodes = apply_node_filters(nodes, node_filters)
     if edge_filters and edges is not None:

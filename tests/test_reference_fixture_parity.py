@@ -538,6 +538,10 @@ def test_merge_fixture_no_preserve(spark):
 
 
 def _graph_fixture(spark):
+    # direct source reads yield RAW records, mirroring the reference's
+    # Transformer(stream=True) in the meta-KG tests (records stream through
+    # the inspector uninserted); graph-mode loads via transform.read_source
+    # dedupe to 512/531
     from kgx_spark.sources.tsv import read_kgx_tsv
 
     return read_kgx_tsv(
@@ -977,8 +981,8 @@ def test_transform_yaml_fixture(spark, tmp_path):
     results = transform_config(spark, cfg)
     assert set(results) == {"test_graph", "other_graph", "valid_graph"}
     n, e = results["test_graph"]
-    assert n.count() == 534  # raw records (22 duplicate ids); dedup is downstream
-    assert e.count() == 539
+    assert n.count() == 512  # 534 records, 22 exact duplicates collapse at load
+    assert e.count() == 531  # 539 records, 8 duplicate (s,o,key) collapse
     vn, ve = results["valid_graph"]
     assert vn.count() == 15 and ve.count() == 5
     target = tmp_path / "target"
@@ -1039,3 +1043,65 @@ def test_transform_rdf_yaml_fixtures(spark, tmp_path):
     n2, e2 = results2["test_graph"]
     assert n2.count() > 0 and e2.count() > 0
     assert (tmp2 / "target" / "test-tranform-tsv-rdf.nt").exists()
+
+
+# ------------------------------------------------- stream-transform scenarios
+
+
+def test_transform_filter_scenarios(spark, tmp_path):
+    """tests/integration/test_stream_transform.py::test_transform1 — the six
+    TSV-load scenarios with their exact node/edge counts: graph-mode loads
+    dedupe (512/531), the category node filter cross-wires into edge
+    subject/object_category (178/177), predicate composition (178/165), and
+    an edge-category-only filter reduces the node stream too (133/13)."""
+    from kgx_spark.transform import read_source
+
+    files = [f"{RES}/graph_nodes.tsv", f"{RES}/graph_edges.tsv"]
+
+    n, e = read_source(spark, {"filename": files, "format": "tsv"})
+    assert (n.count(), e.count()) == (512, 531)
+
+    n, e = read_source(
+        spark,
+        {"filename": files, "format": "tsv",
+         "node_filters": {"category": {"biolink:Gene"}}},
+    )
+    assert (n.count(), e.count()) == (178, 177)
+
+    n, e = read_source(
+        spark,
+        {"filename": files, "format": "tsv",
+         "node_filters": {"category": {"biolink:Gene"}},
+         "edge_filters": {"predicate": {"biolink:interacts_with"}}},
+    )
+    assert (n.count(), e.count()) == (178, 165)
+
+    n, e = read_source(
+        spark,
+        {"filename": files, "format": "tsv",
+         "edge_filters": {
+             "subject_category": {"biolink:Disease"},
+             "object_category": {"biolink:PhenotypicFeature"},
+             "predicate": {"biolink:has_phenotype"},
+         }},
+    )
+    assert (n.count(), e.count()) == (133, 13)
+
+
+def test_transform_roundtrip_sinks(spark, tmp_path):
+    """::test_transform1 roundtrip legs — the loaded graph writes to
+    json/jsonl/nt and reads back with identical counts (512/531)."""
+    from kgx_spark.transform import read_source, write_sink
+
+    files = [f"{RES}/graph_nodes.tsv", f"{RES}/graph_edges.tsv"]
+    nodes, edges = read_source(spark, {"filename": files, "format": "tsv"})
+
+    for fmt, fname in (("json", "g1.json"), ("jsonl", "g2"), ("nt", "g3.nt")):
+        out = str(tmp_path / fname)
+        write_sink(nodes, edges, {"filename": out, "format": fmt})
+        # the jsonl sink writes {base}_nodes.jsonl / {base}_edges.jsonl —
+        # read back via glob, as the reference passes both files explicitly
+        back = {"filename": f"{out}_*" if fmt == "jsonl" else out, "format": fmt}
+        n2, e2 = read_source(spark, back)
+        assert n2.count() == 512, fmt
+        assert e2.count() == 531, fmt
