@@ -57,6 +57,14 @@ def main(argv: list[str] | None = None) -> int:
         choices=["kgx-map", "meta-knowledge-graph"],
         help="summary report type (cli_utils.py:21 summary_report_types)",
     )
+    g.add_argument(
+        "--node-facet-properties", default=None,
+        help="comma-separated node facet properties (cli_utils.py:92-99)",
+    )
+    g.add_argument(
+        "--edge-facet-properties", default=None,
+        help="comma-separated edge facet properties",
+    )
 
     v = sub.add_parser("validate", help="kgx validate (cli_utils.py:167-229)")
     _io_args(v)
@@ -191,7 +199,16 @@ def main(argv: list[str] | None = None) -> int:
         else:
             from kgx_spark.operators.summary import summarize_graph
 
-            stats = summarize_graph(nodes, edges)
+            stats = summarize_graph(
+                nodes,
+                edges,
+                node_facet_properties=(
+                    args.node_facet_properties.split(",") if args.node_facet_properties else None
+                ),
+                edge_facet_properties=(
+                    args.edge_facet_properties.split(",") if args.edge_facet_properties else None
+                ),
+            )
         out = json.dumps(stats, indent=2, default=str)
         if args.output:
             with open(args.output, "w") as fh:

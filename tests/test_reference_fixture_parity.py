@@ -1105,3 +1105,77 @@ def test_transform_roundtrip_sinks(spark, tmp_path):
         n2, e2 = read_source(spark, back)
         assert n2.count() == 512, fmt
         assert e2.count() == 531, fmt
+
+
+def test_bfo_obojson_transform(spark, tmp_path):
+    """tests/unit/test_cli_utils.py::test_transform_obojson_to_csv_wrapper —
+    BFO_2_relaxed.json through the transform with plain-string knowledge
+    sources: every written edge row carries the filled 'bioportal' and
+    'justastring' defaults."""
+    import csv
+    import glob
+
+    from kgx_spark.transform import transform
+
+    out = str(tmp_path / "test_bfo_2_relaxed")
+    transform(
+        spark,
+        {
+            "filename": f"{RES}/BFO_2_relaxed.json",
+            "format": "obojson",
+            "aggregator_knowledge_source": "bioportal",
+            "primary_knowledge_source": "justastring",
+        },
+        {"filename": out, "format": "tsv", "single_file": True},
+    )
+    (part,) = glob.glob(f"{out}_edges.tsv/part-*")
+    with open(part) as fd:
+        rows = csv.reader(fd, delimiter="\t", quotechar='"')
+        headings = next(rows)
+        assert "aggregator_knowledge_source" in headings
+        n = 0
+        for row in rows:
+            n += 1
+            assert "bioportal" in row
+            assert "justastring" in row
+        assert n > 0
+
+
+def test_cli_graph_summary_kgx_map(tmp_path, capsys, spark):
+    """tests/unit/test_cli_utils.py::test_kgx_graph_summary — the CLI
+    kgx-map summary over the reference's graph fixture with facet
+    properties. Note: the reference's streaming inspector counts raw edge
+    records (539); our graph-mode load dedupes by (s,p,o) edge key (531)
+    — the node side (512, deduped) matches either way."""
+    import json as _json
+    import shutil
+
+    from kgx_spark.__main__ import main
+
+    d = tmp_path / "in"
+    d.mkdir()
+    shutil.copy(f"{RES}/graph_nodes.tsv", d / "graph_nodes.tsv")
+    shutil.copy(f"{RES}/graph_edges.tsv", d / "graph_edges.tsv")
+    out = tmp_path / "graph_stats1.json"
+    rc = main([
+        "graph-summary",
+        "-i", str(d),
+        "--input-format", "tsv",
+        "-o", str(out),
+        "--node-facet-properties", "provided_by",
+        "--edge-facet-properties", "aggregator_knowledge_source",
+        "--report-type", "kgx-map",
+    ])
+    assert rc == 0
+    stats = _json.loads(out.read_text())
+    assert stats["node_stats"]["total_nodes"] == 512
+    assert "biolink:Gene" in stats["node_stats"]["node_categories"]
+    assert "biolink:Disease" in stats["node_stats"]["node_categories"]
+    assert stats["edge_stats"]["total_edges"] == 531
+    assert "biolink:has_phenotype" in stats["edge_stats"]["predicates"]
+    assert "biolink:interacts_with" in stats["edge_stats"]["predicates"]
+    # facet blocks in the reference's nested shape
+    assert "provided_by" in stats["node_stats"]
+    assert "aggregator_knowledge_source" in stats["edge_stats"]
+    gene = stats["node_stats"]["count_by_category"]["biolink:Gene"]
+    assert gene["count"] == 178 and "provided_by" in gene
