@@ -30,10 +30,11 @@ def _lit_str(col):
     return F.concat(F.lit('"'), escaped, F.lit('"'))
 
 
-def _node_term_rows(nodes: DataFrame) -> DataFrame:
+def _node_term_rows(nodes: DataFrame, id_is_iri: bool = False) -> DataFrame:
     """Node properties → term rows (s, p, o, o_literal): s/p full IRIs,
     o a full IRI or the RAW literal lexical form (escaping is a concern of
-    the serialization, not the term)."""
+    the serialization, not the term). ``id_is_iri`` skips the id expansion
+    (reified statement nodes arrive pre-expanded)."""
     from kgx_spark.functions.biolink import SLOT_TYPES
 
     rows = []
@@ -57,7 +58,7 @@ def _node_term_rows(nodes: DataFrame) -> DataFrame:
             )
         rows.append(
             base.select(
-                expand(F.col("id")).alias("s"),
+                (F.col("id") if id_is_iri else expand(F.col("id"))).alias("s"),
                 pred.alias("p"),
                 (expand(F.col("v")) if is_resource else F.col("v").cast("string")).alias("o"),
                 F.lit(not is_resource).alias("o_literal"),
@@ -69,9 +70,28 @@ def _node_term_rows(nodes: DataFrame) -> DataFrame:
     return out
 
 
+def _stmt_iri(col):
+    """Statement-node IRI from an edge id — the reference's uriref rules
+    (rdf_sink.py:336-356): urn:* and full IRIs pass through, CURIEs expand,
+    anything else lands in the DEFAULT namespace (the biolink vocab — the
+    sink's prefix_map[''] entry)."""
+    return (
+        F.when(col.startswith("urn:"), col)
+        .when(col.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), col)
+        .when(col.contains(":"), expand(col))
+        .otherwise(F.concat(F.lit(_BIOLINK), col))
+    )
+
+
 def _edge_term_rows(edges: DataFrame, reify: bool) -> DataFrame:
-    """Edges → term rows; reified statement subjects are '_:'-prefixed
-    bnode labels (serializations format them without angle brackets)."""
+    """Edges → term rows. With ``reify`` the reference's write_edge shape
+    (rdf_sink.py:214-266 + reify:555-593) is reproduced: the DIRECT
+    (s, p, o) triple is still written (the reference's ecache), plus a
+    statement node — the edge's own id via uriref rules, a fresh uuid in
+    the reference when absent (deterministic sha urn here, keys.py
+    rationale) — carrying rdf:type biolink:Association,
+    biolink:subject/predicate/object role triples, and EVERY other edge
+    property serialized exactly like node properties."""
     direct = edges.select(
         expand(F.col("subject")).alias("s"),
         expand(F.col("predicate")).alias("p"),
@@ -81,28 +101,46 @@ def _edge_term_rows(edges: DataFrame, reify: bool) -> DataFrame:
     if not reify:
         return direct
     rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
-    stmt = F.concat(F.lit("_:e"), F.sha2(F.concat_ws("-", "subject", "predicate", "object"), 256))
-    parts = []
-    for role, col in (("subject", "subject"), ("predicate", "predicate"), ("object", "object")):
+    if "id" in edges.columns:
+        stmt_expr = _stmt_iri(F.col("id"))
+    else:
+        stmt_expr = F.concat(
+            F.lit("urn:uuid:"),
+            F.sha2(F.concat_ws("-", "subject", "predicate", "object"), 256),
+        )
+    tagged = edges.withColumn("_stmt", stmt_expr)
+    parts = [direct]
+    for role in ("subject", "predicate", "object"):
         parts.append(
-            edges.select(
-                stmt.alias("s"),
-                F.lit(f"{rdf}{role}").alias("p"),
-                expand(qcol(col)).alias("o"),
+            tagged.select(
+                F.col("_stmt").alias("s"),
+                F.lit(f"{_BIOLINK}{role}").alias("p"),
+                expand(F.col(role)).alias("o"),
                 F.lit(False).alias("o_literal"),
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.unionByName(
-        edges.select(
-            stmt.alias("s"),
+    parts.append(
+        tagged.select(
+            F.col("_stmt").alias("s"),
             F.lit(f"{rdf}type").alias("p"),
-            F.lit(f"{rdf}Statement").alias("o"),
+            F.lit(f"{_BIOLINK}Association").alias("o"),
             F.lit(False).alias("o_literal"),
         )
     )
+    # remaining edge properties ride on the statement node exactly like
+    # node properties (write_edge's prop loop skips id/association_id/
+    # edge_key and overwrites type with Association — rdf_sink.py:238-240,589)
+    skip = {"id", "subject", "predicate", "object", "type", "association_id", "edge_key", "_stmt"}
+    prop_cols = [c for c in edges.columns if c not in skip]
+    if prop_cols:
+        stmt_nodes = tagged.select(
+            F.col("_stmt").alias("id"), *[qcol(c).alias(c) for c in prop_cols]
+        )
+        parts.append(_node_term_rows(stmt_nodes, id_is_iri=True))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def graph_term_rows(

@@ -276,10 +276,11 @@ class TestSparkJelly:
         sink_rows = sorted(map(tuple, parse_jelly(spark, gzsink).collect()), key=str)
         assert sink_rows == plain_rows
 
-    def test_reified_bnodes_follow_nt_bnode_policy(self, spark, graph, tmp_path):
-        """reify_all_edges=True writes '_:e<sha>' statement stanzas; the
-        default parse drops bnode stanzas exactly like parse_ntriples,
-        while include_bnodes=True surfaces them."""
+    def test_reified_statements_follow_reference_shape(self, spark, graph, tmp_path):
+        """reify_all_edges=True writes the reference's write_edge shape
+        (rdf_sink.py:214-266): the direct triple PLUS a urn:uuid statement
+        node typed biolink:Association with biolink role triples — 5 rows
+        per plain edge, all IRI-subject (no bnodes)."""
         from pyspark.sql import functions as F
 
         from kgx_spark.sinks.jelly import write_jelly
@@ -288,9 +289,13 @@ class TestSparkJelly:
         nodes, edges = graph
         jpath = str(tmp_path / "g_reified")
         write_jelly(None, edges, jpath, reify_all_edges=True)
-        assert parse_jelly(spark, jpath).count() == 0  # all stanzas are bnodes
-        with_b = parse_jelly(spark, jpath, include_bnodes=True)
-        assert with_b.count() == 4 * edges.count()
+        rows = parse_jelly(spark, jpath)
+        assert rows.count() == 5 * edges.count()
         assert (
-            with_b.where(~F.col("subject_iri").startswith("_:e")).count() == 0
+            rows.where(F.col("object_iri") == "https://w3id.org/biolink/vocab/Association").count()
+            == edges.count()
+        )
+        assert (
+            rows.where(F.col("subject_iri").startswith("urn:uuid:")).count()
+            == 4 * edges.count()
         )

@@ -1179,3 +1179,53 @@ def test_cli_graph_summary_kgx_map(tmp_path, capsys, spark):
     assert "aggregator_knowledge_source" in stats["edge_stats"]
     gene = stats["node_stats"]["count_by_category"]["biolink:Gene"]
     assert gene["count"] == 178 and "provided_by" in gene
+
+
+# ----------------------------------------------------------------- RDF sink
+
+
+def test_rdf_sink_reference_graph(spark, tmp_path):
+    """tests/unit/test_sink/test_rdf_sink.py::test_write_rdf1/3 — the
+    reference's shared 6-node/6-edge graph through our NT sink:
+    18 lines non-reified; 44 lines reified (direct triple + Association-
+    typed statement node + role triples + the nested-attribute list's two
+    elements), with the Association type fully expanded."""
+    import glob
+
+    from kgx_spark.sinks.rdf_nt import write_ntriples
+
+    nodes = spark.createDataFrame(
+        [(x, f"Node {x}", ["biolink:NamedThing"]) for x in "ABCDEF"],
+        "id string, name string, category array<string>",
+    )
+    rows = [
+        ("B", "biolink:sub_class_of", "A", None),
+        ("C", "biolink:sub_class_of", "B", None),
+        ("D", "biolink:sub_class_of", "C", None),
+        ("D", "biolink:related_to", "A",
+         [{"nested_attribute2": "value", "alternative_url": "url_value"},
+          {"nested_attribute2": "value", "alternative_url": None}]),
+        ("E", "biolink:sub_class_of", "D", None),
+        ("F", "biolink:sub_class_of", "D", None),
+    ]
+    edges = spark.createDataFrame(
+        rows,
+        "subject string, predicate string, object string, "
+        "nested_attribute1 array<struct<nested_attribute2:string,alternative_url:string>>",
+    )
+
+    def lines(p):
+        out = []
+        for f in glob.glob(p + "/part-*") if os.path.isdir(p) else [p]:
+            out += open(f).read().splitlines()
+        return out
+
+    f1 = str(tmp_path / "g1.nt")
+    write_ntriples(nodes, edges.drop("nested_attribute1"), f1, reify_all_edges=False)
+    assert len(lines(f1)) == 18
+
+    f3 = str(tmp_path / "g3.nt")
+    write_ntriples(nodes, edges, f3, reify_all_edges=True)
+    l3 = lines(f3)
+    assert len(l3) == 44
+    assert sum(1 for x in l3 if "<https://w3id.org/biolink/vocab/Association>" in x) == 6
