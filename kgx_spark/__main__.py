@@ -37,6 +37,13 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--output-format", default=None)
     t.add_argument("--operations", default=None, help="JSON list of {name, args}")
     t.add_argument(
+        "-k", "--knowledge-sources", nargs=2, action="append", default=None,
+        metavar=("KSF", "SPEC"),
+        help="named knowledge-source spec (cli/__init__.py:715-722; "
+             "cli_utils.py:530-549): SPEC is true/false, a default string, "
+             "or an 'old,new' InfoRes rewrite tuple; repeatable",
+    )
+    t.add_argument(
         "--transform-config", default=None,
         help="multi-source transform YAML (cli_utils.py:552-720); "
              "mutually exclusive with -i/-o",
@@ -68,6 +75,13 @@ def main(argv: list[str] | None = None) -> int:
 
     v = sub.add_parser("validate", help="kgx validate (cli_utils.py:167-229)")
     _io_args(v)
+    v.add_argument("-o", "--output", default=None,
+                   help="file to write the validation report to (stdout otherwise)")
+    v.add_argument(
+        "-b", "--biolink-release", default=None,
+        help="Biolink Model release (SemVer); anything but the pinned "
+             "snapshot release raises → exit 2 (cli/__init__.py:172-210)",
+    )
 
     # connector verbs (kgx/cli/__init__.py:218-661) — wired to the
     # import-gated distributed connectors; without the bolt/arango drivers
@@ -131,6 +145,7 @@ def main(argv: list[str] | None = None) -> int:
                     ("--operations", args.operations),
                     ("--node-filters", args.node_filters),
                     ("--edge-filters", args.edge_filters),
+                    ("-k/--knowledge-sources", args.knowledge_sources),
                 ) if val
             ]
             if conflicting:
@@ -158,8 +173,28 @@ def main(argv: list[str] | None = None) -> int:
         from kgx_spark.transform import transform
 
         ops = json.loads(args.operations) if args.operations else None
+        ia = input_args()
+        if args.knowledge_sources:
+            # _process_knowledge_source (cli_utils.py:530-549): true/false →
+            # bool, single token → default string, comma list → rewrite tuple
+            # (>3 parts truncates to the first two); unknown fields warn and
+            # are ignored
+            from kgx_spark.functions.infores import PROVENANCE_SLOTS
+
+            for ksf, spec in args.knowledge_sources:
+                if ksf not in PROVENANCE_SLOTS:
+                    print(f"Unknown Knowledge Source Field: {ksf}... ignoring!",
+                          file=sys.stderr)
+                    continue
+                if spec.lower() in ("true", "false"):
+                    ia[ksf] = spec.lower() == "true"
+                else:
+                    parts = spec.split(",")
+                    ia[ksf] = parts[0] if len(parts) == 1 else tuple(
+                        parts[:2] if len(parts) > 3 else parts
+                    )
         nodes, edges = transform(
-            spark, input_args(),
+            spark, ia,
             {"filename": args.output, "format": args.output_format}, ops,
             cache_graph=True,
         )
@@ -258,18 +293,50 @@ def main(argv: list[str] | None = None) -> int:
             print(str(e), file=sys.stderr)
             return 1
     elif args.cmd == "validate":
-        from kgx_spark.operators.validator import (
-            error_report,
-            validate_edge_records,
-            validate_node_records,
-        )
-        from kgx_spark.transform import read_source
+        # exit-code contract (cli/__init__.py:201-214, pinned by
+        # test_cli_utils.py:414-453): any exception → 2, validation
+        # errors → 1, clean → 0
+        try:
+            from kgx_spark.operators.validator import (
+                error_report,
+                set_biolink_release,
+                validate_edge_records,
+                validate_node_records,
+            )
+            from kgx_spark.transform import read_source
 
-        nodes, edges = read_source(spark, input_args())
-        errs = validate_node_records(nodes).unionByName(validate_edge_records(edges))
-        rows = error_report(errs).collect()
-        for r in rows:
-            print(f"[{r['level']}] {r['error_type']}: {r['message']} ({r['count']} entities)")
+            set_biolink_release(args.biolink_release)
+            nodes, edges = read_source(spark, input_args())
+            # a nodes-only (or edges-only) input yields None for the other
+            # frame — the reference streams whatever records exist
+            # the reference's analyse_node/analyse_edge always run the full
+            # battery (types + CURIE-prefix-vs-context) — validator.py:560-585
+            parts = []
+            if nodes is not None:
+                parts.append(
+                    validate_node_records(nodes, check_types=True, check_prefixes=True)
+                )
+            if edges is not None:
+                parts.append(
+                    validate_edge_records(edges, check_types=True, check_prefixes=True)
+                )
+            errs = parts[0]
+            for p in parts[1:]:
+                errs = errs.unionByName(p)
+            rows = error_report(errs).collect()
+        except Exception as e:
+            print(str(e), file=sys.stderr)
+            return 2
+        lines = [
+            f"[{r['level']}] {r['error_type']}: {r['message']} ({r['count']} entities)"
+            for r in rows
+        ]
+        if args.output:
+            with open(args.output, "w") as fh:
+                fh.write("\n".join(lines) + ("\n" if lines else ""))
+        else:
+            for line in lines:
+                print(line)
         return 1 if any(r["level"] == "ERROR" for r in rows) else 0
     return 0
 

@@ -75,6 +75,34 @@ REQUIRED_EDGE_PROPERTIES = ("id", "subject", "predicate", "object")
 
 _ERR_SCHEMA = "entity string, level string, error_type string, message string"
 
+# The model release the offline snapshot was curated against — the same
+# default the reference pins when no release is requested (validator.py:69).
+SNAPSHOT_RELEASE = "v4.1.6"
+
+
+def set_biolink_release(version: str | None) -> str:
+    """Mirror ``Validator.set_biolink_model`` (reference validator.py:132-136):
+    the release string goes to ``bmt.get_toolkit``, which raises on a
+    non-SemVer or un-downloadable release — and the validate CLI maps ANY
+    exception to exit code 2 (cli/__init__.py:201-208,
+    test_cli_utils.py:414-431). This engine's model knowledge is a pinned
+    offline snapshot, so the only *available* release is SNAPSHOT_RELEASE:
+    a malformed SemVer raises (the reference's ``not.a.semver`` case), and a
+    well-formed but different release raises too (the reference would try to
+    fetch it; offline we fail loudly rather than validate against the wrong
+    model)."""
+    if version is None:
+        return SNAPSHOT_RELEASE
+    v = str(version).strip()
+    if not re.fullmatch(r"v?\d+\.\d+\.\d+([.-][0-9A-Za-z.-]+)?", v):
+        raise ValueError(f"invalid Biolink Model release (not SemVer): {version!r}")
+    if v.lstrip("v") != SNAPSHOT_RELEASE.lstrip("v"):
+        raise ValueError(
+            f"Biolink Model release {version!r} is not available in the "
+            f"offline model snapshot (pinned: {SNAPSHOT_RELEASE})"
+        )
+    return SNAPSHOT_RELEASE
+
 # validator.py:664 — applied to the CURIE-stripped bare category
 _CAMELCASE_RE = r"^([A-Z][a-z\d]+)+$"
 # validator.py:725 — applied to the CURIE-stripped bare predicate

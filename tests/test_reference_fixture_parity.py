@@ -1229,3 +1229,62 @@ def test_rdf_sink_reference_graph(spark, tmp_path):
     l3 = lines(f3)
     assert len(l3) == 44
     assert sum(1 for x in l3 if "<https://w3id.org/biolink/vocab/Association>" in x) == 6
+
+
+# ------------------------------------------------------------ CLI wrappers
+
+
+def test_cli_transform_obojson_to_tsv_knowledge_sources(spark, tmp_path):
+    """test_cli_utils.py:181-211 (test_transform_obojson_to_csv_wrapper) —
+    BFO_2_relaxed.json through transform with -k tuples: the edges TSV
+    grows aggregator_knowledge_source/primary_knowledge_source columns and
+    EVERY row carries the raw default strings."""
+    import csv
+
+    from kgx_spark.__main__ import main
+
+    out = str(tmp_path / "test_bfo_2_relaxed")
+    rc = main([
+        "transform",
+        "-i", f"{RES}/BFO_2_relaxed.json", "--input-format", "obojson",
+        "-o", out, "--output-format", "tsv",
+        "-k", "aggregator_knowledge_source", "bioportal",
+        "-k", "primary_knowledge_source", "justastring",
+    ])
+    assert rc == 0
+    import glob
+    import io
+
+    buf = "".join(
+        open(f).read() for f in sorted(glob.glob(out + "_edges.tsv/part-*"))
+    )
+    rows = list(csv.reader(io.StringIO(buf), delimiter="\t", quotechar='"'))
+    assert "aggregator_knowledge_source" in rows[0]
+    assert "primary_knowledge_source" in rows[0]
+    assert len(rows) > 1
+    for row in rows[1:]:
+        assert "bioportal" in row
+        assert "justastring" in row
+
+
+def test_cli_validate_exit_codes(spark, tmp_path):
+    """test_cli_utils.py:414-453 — validate exit-code contract: a bad
+    -b SemVer raises before any parsing (exit 2); a context-clean graph
+    exits 0; CURIE:-prefixed ids (prefix absent from the JSON-LD context)
+    exit 1."""
+    from kgx_spark.__main__ import main
+
+    rc = main([
+        "validate", "-i", f"{RES}/graph_tiny_nodes.tsv",
+        "--input-format", "tsv", "-b", "not.a.semver",
+    ])
+    assert rc == 2
+    assert main([
+        "validate", "-i", f"{RES}/graph_nodes.tsv", "--input-format", "tsv",
+    ]) == 0
+    report = str(tmp_path / "validation.log")
+    assert main([
+        "validate", "-i", f"{RES}/test_nodes.tsv", "--input-format", "tsv",
+        "-o", report,
+    ]) == 1
+    assert "CURIE" in open(report).read()
