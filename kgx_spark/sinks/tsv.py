@@ -18,15 +18,40 @@ import tarfile
 import tempfile
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from kgx_spark.operators.sanitize import _qcol, sanitize_export
 from kgx_spark.schema import EDGE_CORE_ORDER, NODE_CORE_ORDER, ordered_columns
 
 
-def _write(df: DataFrame, path: str, core_order: list[str], fmt: str, single_file: bool) -> None:
-    cols = ordered_columns(df.columns, core_order)
-    # quoted refs: undeclared long-tail headers may carry dots (obo IRIs)
-    out = sanitize_export(df.select(*[_qcol(c).alias(c) for c in cols]))
+def _select_declared(df: DataFrame, properties, core_order: list[str]) -> DataFrame:
+    """Declared-property-set semantics (tsv_sink.py:82-92,104-141): the
+    output columns are exactly the ordered declared set — record keys
+    outside it are dropped, declared-but-absent columns fill empty."""
+    declared = ordered_columns(sorted(set(properties)), core_order)
+    have = set(df.columns)
+    return df.select(
+        *[
+            (_qcol(c) if c in have else F.lit(None).cast("string")).alias(c)
+            for c in declared
+        ]
+    )
+
+
+def _write(
+    df: DataFrame,
+    path: str,
+    core_order: list[str],
+    fmt: str,
+    single_file: bool,
+    properties=None,
+) -> None:
+    if properties is not None:
+        out = sanitize_export(_select_declared(df, properties, core_order))
+    else:
+        cols = ordered_columns(df.columns, core_order)
+        # quoted refs: undeclared long-tail headers may carry dots (obo IRIs)
+        out = sanitize_export(df.select(*[_qcol(c).alias(c) for c in cols]))
     if single_file:
         out = out.coalesce(1)
     (
@@ -46,18 +71,24 @@ def write_kgx_tsv(
     fmt: str = "tsv",
     single_file: bool = False,
     compression: str | None = None,
+    node_properties=None,
+    edge_properties=None,
 ) -> None:
     """Write `{base}_nodes.{fmt}` / `{base}_edges.{fmt}`; with
     ``compression`` in {'tar', 'tar.gz', 'tar.bz2'}, package both tables into
     `{base}.{compression}` with `{basename}_nodes.{fmt}` member names
-    (kgx/sink/tsv_sink.py:110-160 finalize)."""
+    (kgx/sink/tsv_sink.py:110-160 finalize). ``node_properties`` /
+    ``edge_properties`` pin the output column set to the declared properties
+    (tsv_sink.py:82-92)."""
     if compression in ("tar", "tar.gz", "tar.bz2"):
         _write_tar(nodes, edges, base_path, fmt, compression)
         return
     if nodes is not None:
-        _write(nodes, os.path.join(base_path + f"_nodes.{fmt}"), NODE_CORE_ORDER, fmt, single_file)
+        _write(nodes, os.path.join(base_path + f"_nodes.{fmt}"), NODE_CORE_ORDER,
+               fmt, single_file, properties=node_properties)
     if edges is not None:
-        _write(edges, os.path.join(base_path + f"_edges.{fmt}"), EDGE_CORE_ORDER, fmt, single_file)
+        _write(edges, os.path.join(base_path + f"_edges.{fmt}"), EDGE_CORE_ORDER,
+               fmt, single_file, properties=edge_properties)
 
 
 def _write_tar(

@@ -218,7 +218,13 @@ def write_sink(nodes: DataFrame | None, edges: DataFrame | None, output_args: di
     if fmt in ("tsv", "csv"):
         from kgx_spark.sinks.tsv import write_kgx_tsv
 
-        write_kgx_tsv(nodes, edges, path, fmt=fmt, single_file=output_args.get("single_file", False))
+        write_kgx_tsv(
+            nodes, edges, path, fmt=fmt,
+            single_file=output_args.get("single_file", False),
+            compression=output_args.get("compression"),
+            node_properties=output_args.get("node_properties"),
+            edge_properties=output_args.get("edge_properties"),
+        )
     elif fmt == "jsonl":
         from kgx_spark.sinks.jsonl import write_kgx_jsonl
 
@@ -246,7 +252,12 @@ def write_sink(nodes: DataFrame | None, edges: DataFrame | None, output_args: di
     elif fmt in ("sql", "sqlite"):
         from kgx_spark.sinks.sql_sink import write_sql
 
-        write_sql(nodes, edges, path)
+        write_sql(
+            nodes, edges, path,
+            node_properties=output_args.get("node_properties"),
+            edge_properties=output_args.get("edge_properties"),
+            denormalize=output_args.get("denormalize", False),
+        )
     elif fmt == "null":
         # NullSink (kgx/sink/null_sink.py): force evaluation, discard
         for df in (nodes, edges):
@@ -405,7 +416,8 @@ def transform_config(
         if not os.path.isabs(ofn):
             ofn = os.path.join(output_directory, ofn)
         output_args: dict[str, Any] = {"filename": ofn, "format": out["format"]}
-        for opt in ("single_file", "compression", "partition_by", "reify_all_edges"):
+        for opt in ("single_file", "compression", "partition_by", "reify_all_edges",
+                    "node_properties", "edge_properties", "denormalize"):
             if opt in out:
                 output_args[opt] = out[opt]
 

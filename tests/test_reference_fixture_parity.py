@@ -1288,3 +1288,84 @@ def test_cli_validate_exit_codes(spark, tmp_path):
         "-o", report,
     ]) == 1
     assert "CURIE" in open(report).read()
+
+
+# ------------------------------------------------------------- sink parity
+
+
+def _six_graph(spark):
+    """The reference test_sink suite's shared 6-node/6-edge graph."""
+    nodes = spark.createDataFrame(
+        [(x, f"Node {x}", ["biolink:NamedThing"]) for x in "ABCDEF"],
+        "id string, name string, category array<string>",
+    )
+    edges = spark.createDataFrame(
+        [
+            ("B", "biolink:sub_class_of", "A"),
+            ("C", "biolink:sub_class_of", "B"),
+            ("D", "biolink:sub_class_of", "C"),
+            ("D", "biolink:related_to", "A"),
+            ("E", "biolink:sub_class_of", "D"),
+            ("F", "biolink:sub_class_of", "D"),
+        ],
+        "subject string, predicate string, object string",
+    )
+    return nodes, edges
+
+
+def test_tsv_sink_declared_property_sets(spark, tmp_path):
+    """test_tsv_sink.py::test_write_tsv1 — with declared node_properties
+    {id,name,category} and edge_properties {subject,predicate,object,
+    relation}, every node line has exactly 3 tab fields and every edge
+    line 4 (the declared-but-absent 'relation' column fills empty)."""
+    import glob
+
+    from kgx_spark.sinks.tsv import write_kgx_tsv
+
+    nodes, edges = _six_graph(spark)
+    base = str(tmp_path / "test_graph")
+    write_kgx_tsv(
+        nodes, edges, base, single_file=True,
+        node_properties={"id", "name", "category"},
+        edge_properties={"subject", "predicate", "object", "relation"},
+    )
+
+    def lines(path):
+        (part,) = glob.glob(path + "/part-*")
+        return open(part).read().splitlines()
+
+    node_lines = lines(base + "_nodes.tsv")
+    edge_lines = lines(base + "_edges.tsv")
+    assert len(node_lines) == 7
+    assert len(edge_lines) == 7
+    assert all(len(n.split("\t")) == 3 for n in node_lines)
+    assert all(len(e.split("\t")) == 4 for e in edge_lines)
+    assert edge_lines[0] == "subject\tpredicate\tobject\trelation"
+
+
+def test_sqlite_sink_reference_counts(spark, tmp_path):
+    """test_sqlite_sink.py::test_write_sqlite/test_write_denormalized_sqlite
+    — 2 tables, 6 nodes / 6 edges; denormalize=True widens the edges table
+    with the model's denormalized association slots (left empty — the
+    reference's _denormalize_edge is a declared stub, sql_sink.py:195-207)."""
+    import sqlite3
+
+    from kgx_spark.sinks.sql_sink import write_sql
+
+    nodes, edges = _six_graph(spark)
+    for denorm in (False, True):
+        db = str(tmp_path / f"test_graph_{denorm}.db")
+        write_sql(nodes, edges, db, denormalize=denorm)
+        con = sqlite3.connect(db)
+        tables = con.execute(
+            "SELECT name FROM sqlite_master WHERE type='table'"
+        ).fetchall()
+        assert len(tables) == 2
+        assert con.execute("SELECT count(*) FROM nodes").fetchone()[0] == 6
+        assert con.execute("SELECT count(*) FROM edges").fetchone()[0] == 6
+        cols = [r[1] for r in con.execute("PRAGMA table_info(edges)")]
+        assert ("subject_category" in cols) == denorm
+        if denorm:
+            vals = con.execute("SELECT DISTINCT subject_category FROM edges").fetchall()
+            assert vals == [("",)]
+        con.close()

@@ -382,3 +382,22 @@ def test_cli_meta_knowledge_graph_report(spark, tsv_dir, capsys):
     out = _json.loads(capsys.readouterr().out)
     assert "nodes" in out and "edges" in out
     assert all("id_prefixes" in v and "count" in v for v in out["nodes"].values())
+
+
+def test_transform_tsv_tar_output_compression(spark, tsv_dir, tmp_path):
+    """transform output_args compression reaches the TSV sink (the
+    reference's Transformer hands output compression through to TsvSink's
+    tar packaging — transformer.py:432-460, tsv_sink.py:110-160)."""
+    import tarfile
+
+    from kgx_spark.transform import transform
+
+    base = str(tmp_path / "archived")
+    transform(
+        spark,
+        {"filename": str(tsv_dir), "format": "tsv"},
+        {"filename": base, "format": "tsv", "compression": "tar.gz"},
+    )
+    with tarfile.open(base + ".tar.gz") as tf:
+        names = sorted(tf.getnames())
+    assert names == ["archived_edges.tsv", "archived_nodes.tsv"]
