@@ -44,8 +44,11 @@ def value_hash(rows: list[tuple], colnames: list[str]) -> str:
 
 
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # query names are POSITIONAL; tolerate a stray --only (a recurring typo
+    # that used to filter everything out silently)
+    argv = [a for a in sys.argv[1:] if a != "--only"]
+    sf = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
     from kgx_spark.session import get_spark
@@ -57,6 +60,11 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"ERROR unknown query name(s): {sorted(unknown)}")
+        return 2
+
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
