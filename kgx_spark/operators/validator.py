@@ -141,10 +141,26 @@ def _emit(
     )
 
 
+#: Bare element names the reference resolves without a prefix: the model's
+#: class and predicate names with the ``biolink:`` prefix stripped.
+_BARE_ELEMENT_NAMES: frozenset[str] = frozenset(
+    n.split(":", 1)[1] for n in KNOWN_CLASSES | KNOWN_PREDICATES
+)
+
+
 def _is_uri_or_curie(col: Column) -> Column:
-    """uriorcurie shape: CURIE regex or an http(s) URL (divergence D-V2 —
-    the reference accepts any str and rejects any list, validator.py:437)."""
-    return col.rlike(CURIE_REGEX) | col.startswith("http://") | col.startswith("https://")
+    """uriorcurie shape: CURIE regex, an http(s) URL, or a bare Biolink
+    element name (divergence D-V2 — the reference's per-slot typeof branch
+    is dead code (SlotDefinition has no ``typeof``, validator.py:432), so it
+    accepts ANY value; we keep the shape lint but must not flag values the
+    reference's own integration suite requires to validate clean, e.g.
+    ``category: ["Protein"]`` in tests/integration/test_validator.py:26-55)."""
+    return (
+        col.rlike(CURIE_REGEX)
+        | col.startswith("http://")
+        | col.startswith("https://")
+        | col.isin(*_BARE_ELEMENT_NAMES)
+    )
 
 
 def _strip_prefix(col: Column) -> Column:

@@ -159,6 +159,20 @@ _MAPPING_NS = {
     "IAO": "http://purl.obolibrary.org/obo/IAO_",
 }
 
+#: Declared ``slot_uri`` overrides from the public biolink-model schema —
+#: the slots whose canonical URI is NOT the default ``biolink:{name}``.
+#: The reference surfaces these as ``canonical_uri``
+#: (kgx/utils/rdf_utils.py:219-231: ``element.slot_uri`` when declared,
+#: else the computed ``biolink:{snake}`` element URI).
+SLOT_URIS: dict[str, str] = {
+    "type": "rdf:type",
+    "name": "rdfs:label",
+    "description": "dct:description",
+    "subject": "rdf:subject",
+    "predicate": "rdf:predicate",
+    "object": "rdf:object",
+}
+
 #: Edge-predicate prefixes allowed through the add_edge gate
 #: (rdf_source.py:517-527); anything else CURIE-shaped collapses to
 #: biolink:related_to.
@@ -277,6 +291,7 @@ class PredicateInfo:
     that depend only on the predicate."""
 
     element_uri: str | None
+    canonical_uri: str | None  # declared slot_uri else element_uri (slots only)
     predicate: str | None  # CURIE form (process_predicate's `predicate`)
     property_name: str  # reference part (its `property_name`)
     prop_uri: str  # element_uri or predicate or property_name
@@ -315,8 +330,14 @@ def process_predicate(
         get_biolink_element(predicate, pm) if predicate else None
     )
     element_uri: str | None = None
+    canonical_uri: str | None = None
     if element:
         element_uri = element[0]
+        if element[1] == "slot":
+            # rdf_utils.py:219-231: slots always carry a canonical URI —
+            # the schema-declared slot_uri where one exists, else the
+            # computed biolink:{snake} definition URI
+            canonical_uri = SLOT_URIS.get(element_uri[len("biolink:"):], element_uri)
         if not predicate:
             predicate = element_uri
     else:
@@ -352,6 +373,7 @@ def process_predicate(
 
     return PredicateInfo(
         element_uri=element_uri,
+        canonical_uri=canonical_uri,
         predicate=predicate,
         property_name=property_name,
         prop_uri=prop_uri,

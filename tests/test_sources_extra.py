@@ -102,3 +102,59 @@ def test_traversal(spark):
     assert parents == {"B:1"}
     anc = {(r["ancestor"], r["hops"]) for r in get_ancestors(edges, start).collect()}
     assert anc == {("B:1", 1), ("A:1", 2), ("ROOT:0", 3)}
+
+
+# --- process_predicate parity: the reference's full rdf_utils table --------
+# (tests/unit/test_rdf_utils.py::test_process_predicate — every row, same
+# expected 4-tuple (element_uri, canonical_uri, predicate, property_name))
+@pytest.mark.parametrize(
+    "p, element_uri, canonical_uri, predicate, property_name",
+    [
+        (
+            "http://purl.org/oban/association_has_object",
+            "biolink:object", "rdf:object",
+            "OBAN:association_has_object", "association_has_object",
+        ),
+        (
+            "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            "biolink:type", "rdf:type", "rdf:type", "type",
+        ),
+        (
+            "https://monarchinitiative.org/frequencyOfPhenotype",
+            None, None, "MONARCH:frequencyOfPhenotype", "frequencyOfPhenotype",
+        ),
+        (
+            "http://purl.obolibrary.org/obo/RO_0002200",
+            "biolink:has_phenotype", "biolink:has_phenotype",
+            "RO:0002200", "0002200",
+        ),
+        (
+            "http://www.w3.org/2002/07/owl#equivalentClass",
+            "biolink:same_as", "biolink:same_as", "owl:equivalentClass",
+            "equivalentClass",
+        ),
+        (
+            "https://www.example.org/UNKNOWN/new_prop",
+            None, None, ":new_prop", "new_prop",
+        ),
+        (
+            "http://purl.obolibrary.org/obo/RO_0000091",
+            None, None, "RO:0000091", "0000091",
+        ),
+        ("RO:0000091", None, None, "RO:0000091", "0000091"),
+        ("category", "biolink:category", "biolink:category", ":category", "category"),
+        ("predicate", "biolink:predicate", "rdf:predicate", ":predicate", "predicate"),
+        ("type", "biolink:type", "rdf:type", ":type", "type"),
+        ("name", "biolink:name", "rdfs:label", ":name", "name"),
+    ],
+)
+def test_process_predicate_reference_table(
+    p, element_uri, canonical_uri, predicate, property_name
+):
+    from kgx_spark.sources.rdf_dispatch import build_rdf_prefix_map, process_predicate
+
+    info = process_predicate(p, build_rdf_prefix_map())
+    assert info.element_uri == element_uri
+    assert info.canonical_uri == canonical_uri
+    assert info.predicate == predicate
+    assert info.property_name == property_name

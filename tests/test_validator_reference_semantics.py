@@ -291,3 +291,51 @@ def test_unknown_predicate_message(spark):
                      "predicate": "biolink:frobnicates"})
     msgs = [r["message"] for r in validate_edge_predicates(df).collect()]
     assert msgs == ["Edge predicate 'frobnicates' is not in Biolink Model"]
+
+
+# --- integration scenarios (tests/integration/test_validator.py:13-55) -----
+def test_validator_integration_bad(spark):
+    """test_validator_bad: junk nodes/edges draw at least one error from the
+    full battery (types + prefixes), like Validator.validate(G)."""
+    nodes = spark.createDataFrame(
+        [("x", 3, None), ("ZZZ:3", None, 1)], "id string, foo bigint, nosuch bigint"
+    )
+    edges = spark.createDataFrame([("x", "y", 6)], "subject string, object string, baz bigint")
+    n_errs = validate_node_records(nodes, check_types=True, check_prefixes=True)
+    e_errs = validate_edge_records(edges, check_types=True, check_prefixes=True)
+    assert n_errs.count() + e_errs.count() > 0
+
+
+def test_validator_integration_good(spark):
+    """test_validator_good: a well-formed 3-node/1-edge graph draws ZERO
+    errors — pins bare 'Protein'/'NamedThing' categories, bare 'part_of'
+    predicate, and UniProtKB/UBERON prefixes as valid through the full
+    battery."""
+    nodes = spark.createDataFrame(
+        [
+            ("UniProtKB:P123456", "fake", ["Protein"]),
+            ("UBERON:0000001", "fake", ["NamedThing"]),
+            ("UBERON:0000002", "fake", ["NamedThing"]),
+        ],
+        "id string, name string, category array<string>",
+    )
+    edges = spark.createDataFrame(
+        [
+            (
+                "UBERON:0000001-part_of-UBERON:0000002",
+                "UBERON:0000001",
+                "part_of",
+                "UBERON:0000002",
+                "RO:1",
+                ["biolink:Association"],
+                "not_provided",
+                "not_provided",
+            )
+        ],
+        "id string, subject string, predicate string, object string, relation string,"
+        " category array<string>, knowledge_level string, agent_type string",
+    )
+    n_errs = validate_node_records(nodes, check_types=True, check_prefixes=True)
+    e_errs = validate_edge_records(edges, check_types=True, check_prefixes=True)
+    assert n_errs.count() == 0, [r.asDict() for r in n_errs.collect()]
+    assert e_errs.count() == 0, [r.asDict() for r in e_errs.collect()]
