@@ -72,6 +72,16 @@ def main(argv: list[str] | None = None) -> int:
         "--edge-facet-properties", default=None,
         help="comma-separated edge facet properties",
     )
+    g.add_argument(
+        "--report-format", default=None, choices=["json", "yaml"],
+        help="report serialization (cli_utils.py:117 get_report_format_types; "
+        "unset = each report type's save() default: yaml for kgx-map, "
+        "json for meta-knowledge-graph)",
+    )
+    g.add_argument(
+        "--graph-name", default=None,
+        help="name stamped into the report (cli_utils.py:114-115 defaults 'Graph')",
+    )
 
     v = sub.add_parser("validate", help="kgx validate (cli_utils.py:167-229)")
     _io_args(v)
@@ -227,24 +237,37 @@ def main(argv: list[str] | None = None) -> int:
         from kgx_spark.transform import read_source
 
         nodes, edges = read_source(spark, input_args())
+        node_facets = args.node_facet_properties.split(",") if args.node_facet_properties else None
+        edge_facets = args.edge_facet_properties.split(",") if args.edge_facet_properties else None
+        graph_name = args.graph_name or "Graph"  # cli_utils.py:114-115
         if args.report_type == "meta-knowledge-graph":
             from kgx_spark.operators.meta_kg import meta_knowledge_graph
 
-            stats = meta_knowledge_graph(nodes, edges)
+            stats = meta_knowledge_graph(
+                nodes, edges, name=graph_name,
+                node_facet_properties=node_facets,
+                edge_facet_properties=edge_facets,
+            )
+            # MetaKnowledgeGraph.save defaults to json (meta_knowledge_graph.py:944,962)
+            as_yaml = args.report_format == "yaml"
         else:
             from kgx_spark.operators.summary import summarize_graph
 
             stats = summarize_graph(
                 nodes,
                 edges,
-                node_facet_properties=(
-                    args.node_facet_properties.split(",") if args.node_facet_properties else None
-                ),
-                edge_facet_properties=(
-                    args.edge_facet_properties.split(",") if args.edge_facet_properties else None
-                ),
+                name=graph_name,
+                node_facet_properties=node_facets,
+                edge_facet_properties=edge_facets,
             )
-        out = json.dumps(stats, indent=2, default=str)
+            # GraphSummary.save defaults to yaml (summarize_graph.py:816,831)
+            as_yaml = args.report_format != "json"
+        if as_yaml:
+            import yaml
+
+            out = yaml.dump(stats, default_flow_style=False)
+        else:
+            out = json.dumps(stats, indent=4, default=str)
         if args.output:
             with open(args.output, "w") as fh:
                 fh.write(out)

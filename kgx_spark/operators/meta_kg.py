@@ -158,21 +158,45 @@ def meta_predicate_counts(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     )
 
 
-def meta_knowledge_graph(nodes: DataFrame, edges: DataFrame) -> dict:
+def meta_knowledge_graph(
+    nodes: DataFrame,
+    edges: DataFrame,
+    name: str = "Graph",
+    node_facet_properties: list[str] | None = None,
+    edge_facet_properties: list[str] | None = None,
+) -> dict:
     """Driver-side TRAPI-shaped dict (meta_knowledge_graph.py:602-700 save),
-    including per-category count_by_source (meta_knowledge_graph.py:350)."""
+    including per-category and per-association count_by_source under the
+    caller's facet properties (meta_knowledge_graph.py:100-112 defaults
+    nodes to ['provided_by'] and edges to ['knowledge_source'];
+    get_graph_summary :931-941 stamps the graph name)."""
+    node_facets = node_facet_properties or ["provided_by"]
+    edge_facets = edge_facet_properties or ["knowledge_source"]
     node_rows = meta_node_stats(nodes).collect()
     edge_rows = meta_edge_stats(edges, nodes).collect()
-    src: dict[str, dict[str, int]] = {}
-    if "provided_by" in nodes.columns:
-        for r in meta_node_count_by_source(nodes).collect():
-            src.setdefault(r["category"], {})[r["source"]] = r["count"]
+    # category → facet → source → count
+    node_src: dict[str, dict[str, dict[str, int]]] = {}
+    for facet in node_facets:
+        if facet in nodes.columns:
+            for r in meta_node_count_by_source(nodes, facet).collect():
+                node_src.setdefault(r["category"], {}).setdefault(facet, {})[
+                    r["source"]
+                ] = r["count"]
+    # (subject_category, predicate, object_category) → facet → source → count
+    edge_src: dict[tuple, dict[str, dict[str, int]]] = {}
+    for facet in edge_facets:
+        if facet in edges.columns:
+            for r in meta_edge_count_by_source(edges, nodes, facet).collect():
+                key = (r["subject_category"], r["predicate"], r["object_category"])
+                edge_src.setdefault(key, {}).setdefault(facet, {})[r["source"]] = r["count"]
     return {
         "nodes": {
             r["category"]: {
                 "id_prefixes": list(r["id_prefixes"]),
                 "count": r["count"],
-                "count_by_source": {"provided_by": src.get(r["category"], {})},
+                "count_by_source": {
+                    f: node_src.get(r["category"], {}).get(f, {}) for f in node_facets
+                },
             }
             for r in node_rows
         },
@@ -182,8 +206,15 @@ def meta_knowledge_graph(nodes: DataFrame, edges: DataFrame) -> dict:
                 "predicate": r["predicate"],
                 "object": r["object_category"],
                 "relations": list(r["relations"]) if "relations" in r.asDict() else [],
+                "count_by_source": {
+                    f: edge_src.get(
+                        (r["subject_category"], r["predicate"], r["object_category"]), {}
+                    ).get(f, {})
+                    for f in edge_facets
+                },
                 "count": r["count"],
             }
             for r in edge_rows
         ],
+        "name": name,
     }

@@ -238,6 +238,26 @@ def _snake(name: str) -> str:
     return "".join(out)
 
 
+def _underscore(word: str) -> str:
+    """Verbatim port of the public ``inflection.underscore`` kernel the
+    reference delegates to (graph_utils.py:152)."""
+    word = re.sub(r"([A-Z]+)([A-Z][a-z])", r"\1_\2", word)
+    word = re.sub(r"([a-z\d])([A-Z])", r"\1_\2", word)
+    word = word.replace("-", "_")
+    return word.lower()
+
+
+def curie_lookup(curie: str) -> str | None:
+    """``kgx.utils.graph_utils.curie_lookup`` (graph_utils.py:129-157):
+    OIO/OWL/owl/OBO/rdfs-prefixed CURIEs underscore their reference part;
+    everything else resolves through the CurieLookupService map (built-ins
+    + preloaded-ontology rdfs:labels — CURIE_LOOKUP above)."""
+    prefix = curie.split(":", 1)[0] if ":" in curie else None
+    if prefix in ("OIO", "OWL", "owl", "OBO", "rdfs"):
+        return _underscore(curie.split(":", 1)[1])
+    return CURIE_LOOKUP.get(curie)
+
+
 def _name_index() -> dict[str, tuple[str, str]]:
     """element name → (element_uri, kind) — bmt's ``get_element`` over the
     public model tables. Predicate and property slots yield
@@ -349,7 +369,9 @@ def process_predicate(
 
     # --- add_node_attribute key mapping (357-423) ---
     key_curie = contract_py(prop_uri, pm) if is_iri(prop_uri) else prop_uri
-    c = CURIE_LOOKUP.get(key_curie)
+    # rdf_source.py:386 routes through graph_utils.curie_lookup, whose
+    # OIO/OWL/owl/OBO/rdfs branch underscores camelCase reference parts
+    c = curie_lookup(key_curie)
     if c:
         key_curie = c
     mapped_key = get_reference(key_curie) if is_curie(key_curie) else key_curie

@@ -39,6 +39,10 @@ def main() -> None:
     ap.add_argument("--force", action="store_true", help="recompute even committed stages")
     ap.add_argument("--repeat-input", type=int, default=1,
                     help="replicate the page corpus N× (scaling experiments)")
+    ap.add_argument("--materialize-input", action="store_true",
+                    help="write the replicated pages to parquet UNTIMED first "
+                    "(production reads a pre-existing pages table; synthesis "
+                    "is harness overhead — see BASELINE.md extract probe)")
     ap.add_argument("--fused", action="store_true",
                     help="single fused DAG, no intermediate snapshots (no resume)")
     args = ap.parse_args()
@@ -89,6 +93,18 @@ def main() -> None:
             .withColumn("url", F.concat_ws("#", "url", "_rep"))
             .drop("_rep")
         )
+        if args.materialize_input:
+            # The production pipeline reads a PRE-EXISTING Iceberg pages
+            # table (BASELINE.json north star); synthesizing one is harness
+            # work, not pipeline work. Under this flag the synthetic pages
+            # are written out before the timer starts, so wall/t_s measure
+            # the pipeline from the same starting point production has.
+            # probe_extract_stage.py measured the synthesis term at a flat
+            # ~7 s regardless of parallelism — untimed here, it stops
+            # masking the stages that do scale.
+            inp = os.path.join(args.workdir, "pages_input")
+            pages_df.write.mode("overwrite").parquet(inp)
+            pages_df = spark.read.parquet(inp)
 
     t0 = time.monotonic()
     if args.fused:

@@ -44,7 +44,7 @@ def main() -> None:
             sys.executable, str(REPO / "scripts" / "run_pipeline.py"),
             "--sf-dir", sf_dir, "--workdir", workdir,
             "--master", master, "--no-link", "--force",
-            "--repeat-input", str(repeat),
+            "--repeat-input", str(repeat), "--materialize-input",
         ]
         out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, timeout=540)
         line = out.stdout.strip().splitlines()[-1]

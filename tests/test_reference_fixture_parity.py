@@ -1165,6 +1165,7 @@ def test_cli_graph_summary_kgx_map(tmp_path, capsys, spark):
         "--node-facet-properties", "provided_by",
         "--edge-facet-properties", "aggregator_knowledge_source",
         "--report-type", "kgx-map",
+        "--report-format", "json",
     ])
     assert rc == 0
     stats = _json.loads(out.read_text())
@@ -1369,3 +1370,74 @@ def test_sqlite_sink_reference_counts(spark, tmp_path):
             vals = con.execute("SELECT DISTINCT subject_category FROM edges").fetchall()
             assert vals == [("",)]
         con.close()
+
+
+def test_cli_meta_knowledge_graph_json_and_yaml(tmp_path, spark):
+    """tests/unit/test_cli_utils.py::test_meta_knowledge_graph_as_json /
+    _as_yaml — the CLI meta-knowledge-graph report carries the graph name,
+    honors the requested facet properties, serializes as JSON by default
+    (MetaKnowledgeGraph.save, meta_knowledge_graph.py:944-965) and as YAML
+    under --report-format yaml; kgx-map defaults to YAML
+    (GraphSummary.save, summarize_graph.py:816-835)."""
+    import json as _json
+    import shutil
+
+    import yaml as _yaml
+
+    from kgx_spark.__main__ import main
+
+    d = tmp_path / "in"
+    d.mkdir()
+    shutil.copy(f"{RES}/graph_nodes.tsv", d / "graph_nodes.tsv")
+    shutil.copy(f"{RES}/graph_edges.tsv", d / "graph_edges.tsv")
+
+    out_json = tmp_path / "meta-knowledge-graph.json"
+    rc = main([
+        "graph-summary",
+        "-i", str(d),
+        "--input-format", "tsv",
+        "-o", str(out_json),
+        "--report-type", "meta-knowledge-graph",
+        "--node-facet-properties", "provided_by",
+        "--edge-facet-properties", "aggregator_knowledge_source",
+        "--graph-name", "Default Meta-Knowledge-Graph",
+    ])
+    assert rc == 0
+    stats = _json.loads(out_json.read_text())  # JSON is the MKG default
+    assert stats["name"] == "Default Meta-Knowledge-Graph"
+    assert "nodes" in stats and "edges" in stats
+    gene = stats["nodes"]["biolink:Gene"]
+    assert gene["count"] == 178
+    assert "provided_by" in gene["count_by_source"]
+    g_i_g = next(
+        e for e in stats["edges"]
+        if (e["subject"], e["predicate"], e["object"])
+        == ("biolink:Gene", "biolink:interacts_with", "biolink:Gene")
+    )
+    assert g_i_g["count_by_source"]["aggregator_knowledge_source"]["string"] == 160
+
+    out_yaml = tmp_path / "meta-knowledge-graph.yaml"
+    rc = main([
+        "graph-summary",
+        "-i", str(d),
+        "--input-format", "tsv",
+        "-o", str(out_yaml),
+        "--report-type", "meta-knowledge-graph",
+        "--report-format", "yaml",
+    ])
+    assert rc == 0
+    ystats = _yaml.safe_load(out_yaml.read_text())
+    assert ystats["name"] == "Graph"  # cli_utils.py:114-115 default
+    assert "nodes" in ystats and "edges" in ystats
+
+    out_map = tmp_path / "graph_stats.yaml"
+    rc = main([
+        "graph-summary",
+        "-i", str(d),
+        "--input-format", "tsv",
+        "-o", str(out_map),
+        "--report-type", "kgx-map",
+    ])
+    assert rc == 0
+    mstats = _yaml.safe_load(out_map.read_text())  # YAML is the kgx-map default
+    assert mstats["node_stats"]["total_nodes"] == 512

@@ -158,3 +158,23 @@ def test_process_predicate_reference_table(
     assert info.canonical_uri == canonical_uri
     assert info.predicate == predicate
     assert info.property_name == property_name
+
+
+# --- curie_lookup parity (tests/unit/test_graph_utils.py::test_curie_lookup
+# + the OIO/OWL/owl/OBO/rdfs underscore branch, graph_utils.py:148-157) ----
+@pytest.mark.parametrize(
+    "curie, label",
+    [
+        ("rdfs:subClassOf", "sub_class_of"),
+        ("owl:equivalentClass", "equivalent_class"),
+        ("RO:0000091", "has_disposition"),
+        ("owl:versionIRI", "version_iri"),  # inflection acronym handling
+        ("OIO:hasExactSynonym", "has_exact_synonym"),
+        ("BFO:0000054", "realized_in"),
+        ("FOO:bar", None),  # no special prefix, not in the service map
+    ],
+)
+def test_curie_lookup_reference_table(curie, label):
+    from kgx_spark.sources.rdf_dispatch import curie_lookup
+
+    assert curie_lookup(curie) == label
