@@ -23,7 +23,14 @@ from pyspark.sql import types as T
 
 
 def _filter_expr(df: DataFrame, key: str, value: Any) -> Column:
-    """One filter term (source.py:54-80): set vs scalar, list-col vs scalar-col."""
+    """One filter term (source.py:54-80): set vs scalar, list-col vs scalar-col.
+
+    Unsupported filter-value types (dict, None, arbitrary objects) reject
+    every record, as the reference's else-branch does after logging an
+    INVALID_*_PROPERTY error (source.py:72-78, pinned by
+    test_source.py::test_incorrect_node_filters). Scalars beyond str are a
+    documented superset — the reference's str-only equality branch would
+    reject int/float/bool filters that YAML configs can plausibly carry."""
     field = dict((f.name, f.dataType) for f in df.schema.fields).get(key)
     if field is None:
         return F.lit(False)  # missing property ⇒ fail (source.py:81-84)
@@ -33,6 +40,8 @@ def _filter_expr(df: DataFrame, key: str, value: Any) -> Column:
         if isinstance(field, T.ArrayType):
             return F.arrays_overlap(col, lit_arr)
         return col.isin(*list(value))
+    if not isinstance(value, (str, int, float, bool)):
+        return F.lit(False)  # unsupported filter type ⇒ fail (source.py:72-78)
     if isinstance(field, T.ArrayType):
         return F.array_contains(col, value)
     return col == value

@@ -1441,3 +1441,65 @@ def test_cli_meta_knowledge_graph_json_and_yaml(tmp_path, spark):
     assert rc == 0
     mstats = _yaml.safe_load(out_map.read_text())  # YAML is the kgx-map default
     assert mstats["node_stats"]["total_nodes"] == 512
+
+
+def test_parquet_sink_reference_counts(spark, tmp_path):
+    """test_parquet_sink.py::test_write_parquet — six nodes / six edges
+    land in {base}_nodes.parquet / {base}_edges.parquet (the reference
+    writes single files; the distributed analogue is a part-file dir
+    under the same name)."""
+    from kgx_spark.sinks.parquet import write_kgx_parquet
+
+    nodes, edges = _six_graph(spark)
+    base = str(tmp_path / "test_graph")
+    write_kgx_parquet(nodes, edges, base)
+    assert spark.read.parquet(base + "_nodes.parquet").count() == 6
+    assert spark.read.parquet(base + "_edges.parquet").count() == 6
+
+
+def test_jsonl_sink_gz_reference_counts(spark, tmp_path):
+    """test_jsonl_sink.py::test_write_jsonl_with_compression — gzip'd
+    part files under {base}_nodes.jsonl / _edges.jsonl, six records each,
+    readable back."""
+    import glob
+
+    from kgx_spark.sinks.jsonl import write_kgx_jsonl
+
+    nodes, edges = _six_graph(spark)
+    base = str(tmp_path / "test_graph")
+    write_kgx_jsonl(nodes, edges, base, compression="gzip")
+    for kind in ("nodes", "edges"):
+        assert glob.glob(f"{base}_{kind}.jsonl/part-*.json.gz")
+        assert spark.read.json(f"{base}_{kind}.jsonl").count() == 6
+
+
+def test_trapi_sink_reference_structure(spark, tmp_path):
+    """test_trapi_sink.py::test_write_trapi_json — the document is
+    {"knowledge_graph": {nodes, edges}}; nodes key by id and carry
+    categories/attributes/name; all six edges land, and the related_to
+    edge keeps subject D / object A with attributes[] and sources[]."""
+    import json as _json
+
+    from kgx_spark.sinks.trapi import write_trapi
+
+    nodes, edges = _six_graph(spark)
+    out = str(tmp_path / "test_trapi_graph.json")
+    write_trapi(nodes, edges, out)
+    content = _json.loads(open(out).read())
+
+    assert "knowledge_graph" in content
+    kg = content["knowledge_graph"]
+    assert "nodes" in kg and "edges" in kg
+    assert len(kg["nodes"]) == 6
+    assert "A" in kg["nodes"]
+    assert "categories" in kg["nodes"]["A"]
+    assert "attributes" in kg["nodes"]["A"]
+    assert kg["nodes"]["A"]["name"] == "Node A"
+    assert len(kg["edges"]) == 6
+    related = [e for e in kg["edges"].values() if e["predicate"] == "biolink:related_to"]
+    assert related
+    for edge in related:
+        assert edge["subject"] == "D"
+        assert edge["object"] == "A"
+        assert "attributes" in edge
+        assert "sources" in edge

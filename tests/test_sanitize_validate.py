@@ -108,3 +108,66 @@ def test_tsv_read_sniffs_undeclared_list_column(spark, tmp_path):
     rows = {r["id"]: r for r in nodes.collect()}
     assert rows["HGNC:1"]["taxon"] == ["NCBITaxon:10090", "NCBITaxon:9606"]
     assert rows["HGNC:2"]["taxon"] == ["NCBITaxon:9606"]
+
+
+# --- base-Source validation parity (tests/unit/test_source/test_source.py) -
+def test_validate_node_reference_rows(spark):
+    """The reference's incorrect/correct node tables: records without a
+    usable id are dropped to the error side-output; surviving records
+    always carry a category defaulting to biolink:NamedThing."""
+    rows = [
+        # (id, name, category, survives)
+        (None, "Node A", None, False),           # no id
+        (None, None, None, False),               # node_id key only
+        (None, "Node A", ["biolink:NamedThing"], False),  # no id, category set
+        ("", "hgnc:0", ["biolink:NamedThing"], False),    # empty id
+        ("hgnc:1234", None, ["biolink:NamedThing"], True),  # no name: warning only
+        ("hgnc:5678", "Node A", None, True),     # no category: defaulted
+        ("A", "Node A", ["biolink:NamedThing"], True),
+        ("A", "Node A", None, True),
+    ]
+    df = spark.createDataFrame(
+        [(i, n, c) for i, n, c, _ in rows],
+        "id string, name string, category array<string>",
+    )
+    valid, errors = validate_nodes(df)
+    got = {r["id"]: r for r in valid.collect()}
+    assert set(got) == {i for i, _, _, s in rows if s}
+    for r in got.values():
+        assert r["category"][0] in ("biolink:NamedThing",)
+    assert errors.count() == sum(1 for *_, s in rows if not s)
+
+
+def test_validate_edge_reference_rows(spark):
+    """Incorrect edges (missing any of s/p/o) drop with errors; correct
+    edges survive with zero errors."""
+    df = spark.createDataFrame(
+        [
+            (None, "biolink:related_to", None),
+            ("A", "biolink:related_to", None),
+            ("A", None, "B"),
+            ("A", "biolink:related_to", "B"),
+        ],
+        "subject string, predicate string, object string",
+    )
+    valid, errors = validate_edges(df)
+    assert [(r["subject"], r["object"]) for r in valid.collect()] == [("A", "B")]
+    assert errors.count() > 0
+
+
+def test_unsupported_filter_type_rejects_all(spark):
+    """test_source.py::test_incorrect_node_filters/_edge_filters — a filter
+    value that is neither a collection nor a scalar (the reference's
+    else-branch, source.py:72-78) fails every record instead of crashing."""
+    from kgx_spark.operators.filters import apply_edge_filters, apply_node_filters
+
+    nodes = spark.createDataFrame(
+        [("hgnc:1234", "some node", "don't care!")],
+        "id string, name string, some_field string",
+    )
+    assert apply_node_filters(nodes, {"some_field": {"bad_node_filter": 1}}).count() == 0
+    edges = spark.createDataFrame(
+        [("A", "biolink:related_to", "B", "don't care here either!")],
+        "subject string, predicate string, object string, some_field string",
+    )
+    assert apply_edge_filters(edges, {"some_field": {"bad_edge_filter": 1}}).count() == 0

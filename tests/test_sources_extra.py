@@ -178,3 +178,49 @@ def test_curie_lookup_reference_table(curie, label):
     from kgx_spark.sources.rdf_dispatch import curie_lookup
 
     assert curie_lookup(curie) == label
+
+
+# --- CurieLookupService parity (tests/unit/test_curie_lookup_service.py) --
+@pytest.mark.parametrize(
+    "curie, label",
+    [
+        # the reference's own parametrized lookup rows (RO/BFO rdfs:labels
+        # its service loads from the configured OBO ontologies)
+        ("RO:0002410", "causally_related_to"),
+        ("RO:0002334", "regulated_by"),
+        ("BFO:0000003", "occurrent"),
+    ],
+)
+def test_curie_lookup_service_reference_rows(curie, label):
+    from kgx_spark.sources.rdf_dispatch import CURIE_LOOKUP, curie_lookup
+
+    assert curie in CURIE_LOOKUP
+    assert curie_lookup(curie) == label
+
+
+def test_curie_lookup_service_custom_map():
+    # test_curie_lookup_with_custom: user entries merge on top of the
+    # built-ins; built-ins still resolve through the merged map.
+    from kgx_spark.sources.rdf_dispatch import build_curie_map, curie_lookup
+
+    merged = build_curie_map({"XYZ:123": "custom entry"})
+    assert merged["XYZ:123"] == "custom entry"
+    assert merged["BFO:0000054"] == "realized_in"
+    assert curie_lookup("XYZ:123", curie_map=merged) == "custom entry"
+    # repeated builds stay independent (no reference-style shared mutation)
+    assert "XYZ:123" not in build_curie_map()
+
+
+# --- get_biolink_model_schema parity (tests/unit/test_config.py) ----------
+def test_get_biolink_model_schema_reference_cases():
+    from kgx_spark.functions.biolink import get_biolink_model_schema
+
+    assert get_biolink_model_schema("v3.2.1") == (
+        "https://raw.githubusercontent.com/biolink/biolink-model/v3.2.1/biolink-model.yaml"
+    )
+    assert get_biolink_model_schema("2.0.1") == (
+        "https://raw.githubusercontent.com/biolink/biolink-model/2.0.1/biolink-model.yaml"
+    )
+    assert get_biolink_model_schema() is None
+    with pytest.raises(TypeError):
+        get_biolink_model_schema("not.a.semver")

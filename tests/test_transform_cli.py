@@ -154,7 +154,20 @@ def test_cli_transform_and_summary(spark, tsv_dir, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out == {"nodes": 3, "edges": 2}
 
+    # kgx-map (the default report type) serializes as YAML by default,
+    # matching the reference's GraphSummary.save(); --report-format json
+    # still yields JSON.
+    import yaml
+
     rc = main(["graph-summary", "-i", str(tsv_dir), "--input-format", "tsv"])
+    assert rc == 0
+    stats = yaml.safe_load(capsys.readouterr().out)
+    assert stats["node_stats"]["total_nodes"] == 3
+
+    rc = main([
+        "graph-summary", "-i", str(tsv_dir), "--input-format", "tsv",
+        "--report-format", "json",
+    ])
     assert rc == 0
     stats = json.loads(capsys.readouterr().out)
     assert stats["node_stats"]["total_nodes"] == 3
