@@ -40,7 +40,11 @@ def main() -> None:
     from kgx_spark.operators.merge import merge_edges
     from kgx_spark.session import get_spark
 
-    n = int(master.split("[")[1].rstrip("]")) if "[" in master else 16
+    try:
+        n = int(master.split("[")[1].rstrip("]")) if "[" in master else 16
+    except ValueError:  # local-cluster[N,C,mem] → N*C total cores
+        bits = master.split("[")[1].rstrip("]").split(",")
+        n = int(bits[0]) * int(bits[1])
     parts = int(sys.argv[4]) if len(sys.argv) > 4 else n
     spark = get_spark("edges-probe", master=master, shuffle_partitions=parts)
     canon = spark.read.parquet(canonical)
