@@ -171,3 +171,66 @@ def test_unsupported_filter_type_rejects_all(spark):
         "subject string, predicate string, object string, some_field string",
     )
     assert apply_edge_filters(edges, {"some_field": {"bad_edge_filter": 1}}).count() == 0
+
+
+def _check_filter_port(filters, record):
+    """Verbatim port of the reference's check_node_filter/check_edge_filter
+    shared kernel (kgx/source/source.py:42-134, minus the log side-effect):
+    AND of per-key terms; collection filter = any-overlap with the record
+    value; str filter = equality; missing key or unsupported filter type =
+    fail."""
+    if not filters:
+        return True
+    for k, v in filters.items():
+        if k in record and record[k] is not None:
+            if isinstance(v, (list, set, tuple)):
+                if not any(x in record[k] for x in v):
+                    return False
+            elif isinstance(v, str):
+                if record[k] != v:
+                    return False
+            else:
+                return False
+        else:
+            return False
+    return True
+
+
+def test_filter_differential_vs_reference_kernel(spark):
+    """Grid differential: every filter shape the reference supports, over a
+    node table mixing list/scalar values, missing keys, and nulls — the
+    Spark filter must keep exactly the ids the ported kernel keeps."""
+    from kgx_spark.operators.filters import apply_node_filters
+
+    rows = [
+        ("n1", ["biolink:Gene"], "alpha", "infores:a"),
+        ("n2", ["biolink:Gene", "biolink:Protein"], "beta", "infores:b"),
+        ("n3", ["biolink:Disease"], "alpha", None),
+        ("n4", None, "gamma", "infores:a"),
+        ("n5", [], "alpha", "infores:c"),
+        ("n6", ["biolink:Protein"], None, "infores:b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "id string, category array<string>, name string, provided_by string"
+    )
+    filter_grid = [
+        {"category": {"biolink:Gene"}},
+        {"category": ["biolink:Gene", "biolink:Disease"]},
+        {"name": "alpha"},
+        {"category": {"biolink:Gene"}, "name": "alpha"},
+        {"provided_by": "infores:a"},
+        {"category": {"biolink:Unknown"}},
+        {"missing_key": "x"},
+        {"name": {"bad": 1}},  # unsupported type
+        {},
+    ]
+    for filters in filter_grid:
+        expected = {
+            r[0]
+            for r in rows
+            if _check_filter_port(
+                filters, {"id": r[0], "category": r[1], "name": r[2], "provided_by": r[3]}
+            )
+        }
+        got = {r["id"] for r in apply_node_filters(df, filters).collect()}
+        assert got == expected, (filters, got, expected)
