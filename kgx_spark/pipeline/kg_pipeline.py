@@ -94,8 +94,13 @@ def build_stages(
         )
         # dedupe_edges=False: the next stage runs merge_edges anyway — one
         # (s,p,o) shuffle for the whole pipeline, not two.
+        # audit_categories=False: the category column IS the constant literal
+        # synthesized four lines up, so no clique conflict is possible — the
+        # audit's vocabulary pre-screen would re-execute the edges-snapshot
+        # lineage once per call for a known answer (round-6 VERDICT #1).
         _, canon_edges, _ = clique_merge(
-            node_ids, edges, prefix_priority=PREFIX_PRIORITY, dedupe_edges=False
+            node_ids, edges, prefix_priority=PREFIX_PRIORITY, dedupe_edges=False,
+            audit_categories=False,
         )
         return canon_edges
 
