@@ -1750,8 +1750,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records (at most) the
-    # FIRST 50 entries; the registry holds 82, all oracle-gated via
-    # tools/oracle_check.py regardless of position.
+    # FIRST 50 entries; the registry holds 85, all oracle-gated via
+    # tools/oracle_check.py regardless of position. The dict is built from
+    # ONE definition map plus an ordered window list (round-6 VERDICT #2:
+    # the old literal carried duplicate keys for window placement, which
+    # Python resolves by silent shadowing — a rotation edit diverging the
+    # two bindings would never be caught). Uniqueness and coverage are
+    # asserted below.
     #
     # WINDOW-ROTATION POLICY (adopted round 6, per round-5 VERDICT #3):
     #   1. The two north-rule flagships (pipeline_triples, entity_link) are
@@ -1766,19 +1771,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   Net effect: every query re-acquires a driver-green row every ~4
     #   rounds; no surface's hard-signal history goes stale indefinitely.
     #
-    # Round-6 rotation (9 swaps): IN — entity_link (flagship, sat at 51 in
-    # r05) + the 8 highest-value never-rowed entries (remove_shared_spans,
-    # pack_sequences, pack_sequences_tokenized, materialize_packs,
-    # media_features, url_normalize, ann_topk_ivf, embedding_near_dup_lsh;
-    # all re-verified at sf0.01 before the swap). OUT — get_parents (one-hop
-    # BFS subsumed by graph_ancestors' 25-hop oracle) and 8 rows green
-    # r01/r02-through-r05 with in-window family neighbors (count_by_category,
-    # count_by_id_prefix, count_by_predicate, facet_counts,
-    # meta_kg_source_counts, fold_predicate, unfold_node_property,
-    # remove_singletons). Still never-rowed, queued for r07: ngram_overlap,
-    # line_dedup, repetition_signals, stratified_sample, and the round-6
-    # additions decontaminate + pii_scrub.
-    return {
+    # Round-7 rotation (7 swaps): IN — the last 7 never-driver-rowed
+    # entries (ngram_overlap, line_dedup, repetition_signals,
+    # stratified_sample, decontaminate, pii_scrub, provenance_coercion; all
+    # local-oracle green, r6 judge's full 85/85 run). OUT — 7 rows green in
+    # BOTH r05 and r06 with in-window family neighbors: json_roundtrip +
+    # sssom_roundtrip + jelly_roundtrip (tsv/obograph/rdf_nt/trapi×2/duckdb
+    # stay), meta_kg_edge_source_counts + validator_type_battery +
+    # duplicate_nodes (meta_kg_nodes/edges, validator_report/edge_report,
+    # dangling_edges stay), provenance_default (provenance_coercion —
+    # rotating IN — is its family neighbor). The round-6 rotation cohort
+    # (remove_shared_spans … embedding_near_dup_lsh) stays in-window: one
+    # green round is below the 2-round rotation bar.
+    defs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # §2.6 merge + §2.3 validate/filter
         "merge_nodes": q_merge_nodes,
         "merge_edges": q_merge_edges,
@@ -1795,6 +1800,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validator_edge_report": q_validator_edges,
         "duplicate_nodes": q_duplicate_nodes,
         "dangling_edges": q_dangling_edges,
+        "count_by_category": q_count_by_category,
+        "count_by_id_prefix": q_count_by_id_prefix,
+        "count_by_predicate": q_count_by_predicate,
+        "facet_counts": q_facet_counts,
+        "meta_kg_source_counts": q_meta_source_counts,
         # §2.7 whole-graph ops + traversal
         "node_degree": q_degree,
         "remap_node_identifier": q_remap_identifier,
@@ -1803,10 +1813,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clique_canonicalize": q_clique_canonicalize,
         "biolink_category_election": q_category_election,
         "graph_ancestors": q_graph_ancestors,
+        "fold_predicate": q_fold_predicate,
+        "unfold_node_property": q_unfold_property,
+        "remove_singletons": q_remove_singletons,
+        "get_parents": q_get_parents,
         # §2.4 scalar functions
         "infores_rewrite": q_infores,
         "infores_catalog": q_infores_catalog,
         "provenance_default": q_provenance_default,
+        "provenance_coercion": q_provenance_coercion,
         "curie_roundtrip": q_curie_roundtrip,
         "case_format_functions": q_case_format,
         "sanitize_split": q_sanitize_split,
@@ -1823,30 +1838,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trapi_roundtrip": q_trapi_roundtrip,
         "trapi_jsonl_roundtrip": q_trapi_jsonl_roundtrip,
         "duckdb_pushdown": q_duckdb_pushdown,
-        # §2.8 orchestration
+        # §2.8 orchestration + north-rule flagships
         "transform_ops": q_transform_ops,
-        # north-rule flagships (KG construction over web pages) — PINNED
         "pipeline_triples": q_pipeline_triples,
         "entity_link": q_entity_link,
-        # round-6 rotation: first-ever driver rows for these LLM-pipeline ops
-        "remove_shared_spans": q_remove_shared_spans,
-        "pack_sequences": q_pack_sequences,
-        "pack_sequences_tokenized": q_pack_sequences_tokenized,
-        "materialize_packs": q_materialize_packs,
-        "media_features": q_media_features,
-        "url_normalize": q_url_normalize,
-        "ann_topk_ivf": q_ann_ivf,
-        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-        # ---- driver-window cut (entries below are judge/oracle-gated) ----
-        "count_by_category": q_count_by_category,
-        "count_by_id_prefix": q_count_by_id_prefix,
-        "count_by_predicate": q_count_by_predicate,
-        "facet_counts": q_facet_counts,
-        "meta_kg_source_counts": q_meta_source_counts,
-        "fold_predicate": q_fold_predicate,
-        "unfold_node_property": q_unfold_property,
-        "remove_singletons": q_remove_singletons,
-        "get_parents": q_get_parents,
+        # LLM-data-pipeline operators
         "extract_text": q_extract_text,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash,
@@ -1878,11 +1874,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_tokenized": q_pack_sequences_tokenized,
         "materialize_packs": q_materialize_packs,
         "media_features": q_media_features,
-        # round-6 additions (never-rowed; queued for the r07 rotation)
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
-        "provenance_coercion": q_provenance_coercion,
     }
+    window = [
+        # §2.6 merge + §2.3 validate/filter
+        "merge_nodes",
+        "merge_edges",
+        "validate_nodes",
+        "filter_nodes_category",
+        "filter_edges_semijoin",
+        # §2.6 summary/meta-kg/validator
+        "spo_category_counts",
+        "meta_kg_nodes",
+        "meta_kg_edges",
+        "validator_report",
+        "validator_edge_report",
+        "dangling_edges",
+        # §2.7 whole-graph ops + traversal
+        "node_degree",
+        "remap_node_identifier",
+        "remap_node_property",
+        "remap_edge_property",
+        "clique_canonicalize",
+        "biolink_category_election",
+        "graph_ancestors",
+        # §2.4 scalar functions
+        "infores_rewrite",
+        "infores_catalog",
+        "provenance_coercion",
+        "curie_roundtrip",
+        "case_format_functions",
+        "sanitize_split",
+        "sanitize_export",
+        "edge_keys",
+        # §2.1/§2.2 source/sink round-trips
+        "delimiter_sniff",
+        "tsv_tar_roundtrip",
+        "obograph_roundtrip",
+        "rdf_nt_roundtrip",
+        "trapi_roundtrip",
+        "trapi_jsonl_roundtrip",
+        "duckdb_pushdown",
+        # §2.8 orchestration
+        "transform_ops",
+        # north-rule flagships (KG construction over web pages) — PINNED
+        "pipeline_triples",
+        "entity_link",
+        # round-6 rotation cohort (one green round — stays for a second)
+        "remove_shared_spans",
+        "pack_sequences",
+        "pack_sequences_tokenized",
+        "materialize_packs",
+        "media_features",
+        "url_normalize",
+        "ann_topk_ivf",
+        "embedding_near_dup_lsh",
+        # round-7 rotation: first-ever driver rows for these
+        "ngram_overlap",
+        "line_dedup",
+        "repetition_signals",
+        "stratified_sample",
+        "decontaminate",
+        "pii_scrub",
+    ]
+    assert len(window) == 50, f"window must hold exactly 50 entries, got {len(window)}"
+    assert len(set(window)) == len(window), "duplicate name in the driver window"
+    unknown = set(window) - set(defs)
+    assert not unknown, f"window references undefined queries: {sorted(unknown)}"
+    ordered = {name: defs[name] for name in window}
+    for name, fn in defs.items():  # below-cut entries keep definition order
+        if name not in ordered:
+            ordered[name] = fn
+    assert len(ordered) == len(defs)
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:
