@@ -102,65 +102,51 @@ def detect_mentions(
     plan size and driver memory bounded at the cost of exploding the full
     n-gram volume first; past broadcastable sizes skip pruning entirely —
     a first-token set that large filters little anyway. Result-identical
-    to the list form (tests/test_pipeline.py pins all three paths equal)."""
+    to the list form (tests/test_pipeline.py pins all three paths equal).
+
+    ONE pass, ONE explode: the per-length gram arrays are built as
+    (pos, mention, ngram_len) structs inside the token array and
+    concatenated BEFORE the single explode. (The previous design unioned
+    one explode branch per n-gram length; each branch re-evaluated the full
+    upstream lineage — the Arrow-batched html extraction appeared
+    ``max_ngram`` times as ArrowEvalPython nodes in the plan, tripling the
+    most expensive narrow stage. Positions are the in-array indices either
+    way, so the output rows are identical.)"""
     if first_tokens is not None and first_token_df is not None:
         raise ValueError("pass first_tokens OR first_token_df, not both")
     toks_col = tokens(F.lower(F.col(text_col)))
     base = pages.select("url", toks_col.alias("_toks"))
     t = F.col("_toks")
-    grams = []
-    for n in range(1, max_ngram + 1):
-        if first_tokens is None:
-            # element i (0-based) → concat of tokens[i+1 .. i+n] (element_at
-            # is 1-based); positions past size-n yield null and are filtered
-            # — nulls only at the TAIL, so posexplode's pos == the n-gram's
-            # starting token index
-            gram_arr = F.filter(
-                F.transform(
-                    t,
-                    lambda x, i: F.when(
-                        i + n <= F.size(t),
-                        F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)]),
-                    ),
-                ),
-                lambda v: v.isNotNull(),
+    # element i (0-based) → concat of tokens[i+1 .. i+n] (element_at is
+    # 1-based); starts past size-n yield null mentions. With
+    # ``first_tokens``, starts whose token opens no alias are nulled too
+    # (holes mid-array — positions ride in the struct, so pruning cannot
+    # shift them); the filter drops all null-mention slots. The factory
+    # pins n per length — F.transform dispatches on the lambda's arity, so
+    # the slot function must take exactly (x, i).
+    def _slots(n):
+        def _slot(x, i):
+            keep = i + n <= F.size(t)
+            if first_tokens is not None:
+                keep = keep & x.isin(first_tokens)
+            return F.struct(
+                i.alias("pos"),
+                F.when(
+                    keep,
+                    F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)]),
+                ).alias("mention"),
+                F.lit(n).alias("ngram_len"),
             )
-            grams.append(
-                base.select(
-                    "url",
-                    F.posexplode(gram_arr).alias("pos", "mention"),
-                ).withColumn("ngram_len", F.lit(n))
-            )
-        else:
-            # pruned starts leave HOLES mid-array, so positions ride along
-            # in a struct instead of relying on post-filter indices
-            pair_arr = F.filter(
-                F.transform(
-                    t,
-                    lambda x, i: F.struct(
-                        i.alias("pos"),
-                        F.when(
-                            (i + n <= F.size(t)) & x.isin(first_tokens),
-                            F.concat_ws(
-                                " ", *[F.element_at(t, i + j + 1) for j in range(n)]
-                            ),
-                        ).alias("mention"),
-                    ),
-                ),
-                lambda s: s["mention"].isNotNull(),
-            )
-            grams.append(
-                base.select("url", F.explode(pair_arr).alias("_g"))
-                .select(
-                    "url",
-                    F.col("_g.pos").alias("pos"),
-                    F.col("_g.mention").alias("mention"),
-                )
-                .withColumn("ngram_len", F.lit(n))
-            )
-    out = grams[0]
-    for e in grams[1:]:
-        out = out.unionByName(e)
+
+        return F.filter(F.transform(t, _slot), lambda s: s["mention"].isNotNull())
+
+    per_n = [_slots(n) for n in range(1, max_ngram + 1)]
+    out = base.select("url", F.explode(F.concat(*per_n)).alias("_g")).select(
+        "url",
+        F.col("_g.pos").alias("pos"),
+        F.col("_g.mention").alias("mention"),
+        F.col("_g.ngram_len").alias("ngram_len"),
+    )
     if first_token_df is not None:
         # mentions are concat_ws(" ")-joined, so the first token is
         # everything before the first single space
@@ -196,18 +182,22 @@ def link_mentions(
     grams were all pruned vanish from the count), so pruning callers must
     always pass ``n_pages``.
 
-    ``dense_dictionary``: the default path materializes ``hits`` once
-    (localCheckpoint) because the idf table is an aggregate OF hits that
-    joins BACK to hits — on realistic sparse dictionaries hits ≪ mentions
-    and the checkpoint is small. When the dictionary matches a large
-    fraction of all n-grams (hits ≈ mentions), that checkpoint is
-    mention-scale; pass ``dense_dictionary=True`` to checkpoint only the
-    idf AGGREGATE (bounded by |dictionary| rows, never corpus-scale) and
-    let the narrow n-gram explode recompute instead (round-3 ADVICE #7).
+    ``dense_dictionary``: the default path materializes the matched
+    mention SITES once (localCheckpoint) because the idf table is an
+    aggregate OF the hits that joins BACK to them. The checkpoint is the
+    NARROW semi-join — (url, pos, mention) only: dictionary payload
+    columns (curie, category, prior) are re-attached from the broadcast
+    dictionary at scoring time, and an alias resolving to several CURIEs
+    fans out AFTER the checkpoint, not inside it (guide §2.3: shuffle/
+    materialize keys and metadata, attach payloads late; measured ~35%
+    off the checkpointed bytes at sf0.1 with identical output). When the
+    dictionary matches a large fraction of all n-grams the checkpoint is
+    still mention-scale; pass ``dense_dictionary=True`` to checkpoint only
+    the idf AGGREGATE (bounded by |dictionary| rows, never corpus-scale)
+    and let the narrow n-gram explode recompute instead (round-3 ADVICE
+    #7).
     """
-    hits = mentions.join(
-        F.broadcast(alias_dict.withColumnRenamed("alias", "mention")), on="mention"
-    )
+    dict_b = F.broadcast(alias_dict.withColumnRenamed("alias", "mention"))
     if idf_weighting:
         if n_pages is None:
             n_pages = mentions.select("url").distinct().count()
@@ -215,23 +205,31 @@ def link_mentions(
             # bound the materialization: snapshot the per-alias df aggregate
             # (≤ |dictionary| rows); the explode+join lineage runs twice,
             # but both passes are narrow and nothing mention-scale is stored
+            hits = mentions.join(dict_b, on="mention")
             df_tbl = (
                 hits.groupBy("mention")
                 .agg(F.countDistinct("url").alias("df"))
                 .localCheckpoint()
             )
         else:
-            # materialize hits ONCE: unmaterialized, the n-gram explode and
-            # dictionary join would execute twice (measured ~2× the linking
-            # stage wall at sf0.1). hits ≪ mentions (dictionary matches
-            # only), so the checkpoint is small even when the corpus isn't.
-            hits = hits.localCheckpoint()
-            df_tbl = hits.groupBy("mention").agg(F.countDistinct("url").alias("df"))
+            # materialize the matched sites ONCE: unmaterialized, the
+            # n-gram explode and dictionary probe would execute twice
+            # (measured ~2× the linking stage wall at sf0.1). A semi-join
+            # keeps the checkpoint three narrow columns and one row per
+            # SITE (multi-CURIE aliases don't fan out here); df — distinct
+            # pages per alias — is identical on sites and on hits.
+            sites = mentions.select("url", "pos", "mention").join(
+                F.broadcast(alias_dict.select(F.col("alias").alias("mention")).distinct()),
+                on="mention",
+                how="left_semi",
+            ).localCheckpoint()
+            df_tbl = sites.groupBy("mention").agg(F.countDistinct("url").alias("df"))
+            hits = sites.join(dict_b, on="mention")
         hits = hits.join(F.broadcast(df_tbl), on="mention").withColumn(
             "score", F.col("prior") * F.log(F.lit(float(n_pages) + 1.0) / (F.col("df") + 1.0))
         )
     else:
-        hits = hits.withColumn("score", F.col("prior"))
+        hits = mentions.join(dict_b, on="mention").withColumn("score", F.col("prior"))
     # argmax per mention site as a HASH AGGREGATION, not a window:
     # row_number().over(partitionBy(url,pos).orderBy(score desc, curie))
     # plans as Exchange + Sort over (url,pos,score,curie). min_by with key
