@@ -39,28 +39,33 @@ def cap_buckets(banded: DataFrame, keys: list[str], max_bucket_size: int) -> Dat
     return banded.join(small, on=keys, how="left_semi")
 
 
-def word_set(df: DataFrame, id_col: str, text_col: str, ngram: int = 1) -> DataFrame:
-    """(id, word) distinct — the n-gram shingle set (default 1-gram words).
+def shingle_array(text_col: str, ngram: int = 1) -> Column:
+    """The distinct n-gram shingle set as an IN-ARRAY column expression
+    (default 1-gram words) — the shared kernel of word_set and the in-array
+    MinHash below.
 
     n>1 builds word-level shingles JVM-side: a sliding concat over the token
     array via transform(sequence(...)) — no explode-then-window, no Python.
     """
     toks = tokens(F.lower(F.col(text_col)))
     if ngram <= 1:
-        shingles = F.array_distinct(toks)
-    else:
-        # guard: sequence(1, stop) DESCENDS when stop < 1 — short docs must
-        # yield an empty shingle set, not [1, 0, ...]
-        windowed = F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (ngram - 1)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, ngram)),
-            )
+        return F.array_distinct(toks)
+    # guard: sequence(1, stop) DESCENDS when stop < 1 — short docs must
+    # yield an empty shingle set, not [1, 0, ...]
+    windowed = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (ngram - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, ngram)),
         )
-        shingles = F.when(F.size(toks) >= ngram, windowed).otherwise(
-            F.array().cast("array<string>")
-        )
-    return df.select(F.col(id_col), F.explode(shingles).alias("word"))
+    )
+    return F.when(F.size(toks) >= ngram, windowed).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def word_set(df: DataFrame, id_col: str, text_col: str, ngram: int = 1) -> DataFrame:
+    """(id, word) distinct — the exploded n-gram shingle set."""
+    return df.select(F.col(id_col), F.explode(shingle_array(text_col, ngram)).alias("word"))
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -85,6 +90,16 @@ def minhash_signatures(
     md5-of-seeded-string is a cheap deterministic permutation surrogate whose
     lexicographic min is a valid min-hash; identical in any engine.
     → (id, h0..h{n-1})
+
+    Formulation note (round-7 A/B, documented-rejected alternative): min
+    over a var-length STRING is not hash-aggregatable, so this plans as
+    Sort + SortAggregate. An in-array rewrite — array_min over a transform
+    of the shingle set, zero exchanges — is result-identical but measured
+    ~1.7× SLOWER at sf0.1/local[32]: CollapseProject substitutes the
+    tokenize+distinct shingle expression into every one of the num_hashes
+    signature expressions, so the narrow stage re-tokenized each document
+    num_hashes times. The explode+groupBy form tokenizes once and its
+    sort input is the already-distinct (id, word) stream.
     """
     ws = word_set(df, id_col, text_col, ngram)
     aggs = [
