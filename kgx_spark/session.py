@@ -49,6 +49,11 @@ def get_spark(
         # from spill behavior). KG merges group on (s,p,o) with ~1e6 keys
         # per task and small per-key state; keep them in the hash path.
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
+        # zstd parquet output: measurably smaller stage snapshots / sink
+        # files at equal read speed (optimization guide §6); A/B'd at sf0.1
+        # local[32] — pipeline walls at parity (11.2-12.6 s both codecs), so
+        # the local bench is unaffected while 100-TB snapshot IO shrinks.
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
