@@ -197,7 +197,28 @@ def link_mentions(
     and let the narrow n-gram explode recompute instead (round-3 ADVICE
     #7).
     """
-    dict_b = F.broadcast(alias_dict.withColumnRenamed("alias", "mention"))
+    # Candidate pre-reduction (exact): the score is prior × idf(alias) —
+    # idf is constant ACROSS an alias's candidate CURIEs — so two candidates
+    # of one alias tie on score iff they tie on prior, and the site argmax's
+    # tie-break is min curie. Keeping only the min-curie row per
+    # (alias, prior) therefore retains, for every distinct score an alias
+    # can produce, exactly the row the full argmax would select — for any
+    # idf sign and for idf_weighting=False alike. This shrinks the
+    # candidate fan-out per mention from |curies-per-alias| to
+    # |distinct priors per alias| BEFORE the scoring join (~15× fewer rows
+    # through the argmax on the sf fixtures: 6.27M → ~0.4M at sf0.1), while
+    # df/idf come from mention SITES and are unaffected.
+    cand_dict = (
+        alias_dict.groupBy("alias", "prior")
+        .agg(F.min_by(F.struct("curie", "category"), F.col("curie")).alias("_best"))
+        .select(
+            "alias",
+            F.col("_best.curie").alias("curie"),
+            F.col("_best.category").alias("category"),
+            "prior",
+        )
+    )
+    dict_b = F.broadcast(cand_dict.withColumnRenamed("alias", "mention"))
     if idf_weighting:
         if n_pages is None:
             n_pages = mentions.select("url").distinct().count()
