@@ -239,6 +239,13 @@ def test_mention_detection_has_no_shuffle(spark):
     # membership probe is a scalar expression, not a join)
     p2 = plan_of(detect_mentions(pages, first_tokens=["alpha", "beta"]))
     assert "Exchange" not in p2 and "Window" not in p2 and "Join" not in p2
+    # ...and ONE pass: all n-gram lengths explode from one concatenated
+    # array (round 7 — the per-length union re-ran the whole upstream
+    # lineage per length, tripling the Arrow-batched extraction)
+    for plan in (p, p2):
+        tree = plan.split("\n\n")[0]
+        assert tree.count("Generate") == 1, tree
+        assert "Union" not in tree, tree
 
 
 def test_first_token_prune_guard_plan_form(spark):
