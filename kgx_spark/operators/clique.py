@@ -119,21 +119,25 @@ def connected_components(
         pairs.select("src", "dst").where(F.col("src") != F.col("dst")).distinct().localCheckpoint()
     )
     if driver_threshold:
-        n_pairs = distinct_pairs.limit(driver_threshold + 1).count()
-        # byte-based guard on top of the row threshold: 2M pairs of short
-        # CURIEs ≈ 100 MB on the driver, but hub identifiers can be long —
-        # estimate bytes from the materialized plan stats when available.
-        small = n_pairs <= driver_threshold
+        # byte-based guard FIRST (free — plan stats, no job): 2M pairs of
+        # short CURIEs ≈ 100 MB on the driver, but hub identifiers can be
+        # long, and past ~512 MB the collect itself is the risk.
+        small = True
+        try:
+            size_bytes = distinct_pairs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            small = int(size_bytes) <= 512 * 1024 * 1024
+        except Exception:  # stats unavailable (connect mode etc.) — row guard only
+            pass
+        pdf = None
         if small:
-            try:
-                size_bytes = distinct_pairs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-                small = int(size_bytes) <= 512 * 1024 * 1024
-            except Exception:  # stats unavailable (connect mode etc.) — row guard only
-                pass
+            # ONE probe job: the limited collect IS the pair set when it
+            # fits under the row threshold (the previous count-then-toPandas
+            # pair scanned the checkpoint twice per clique_merge call).
+            pdf = distinct_pairs.limit(driver_threshold + 1).toPandas()
+            small = len(pdf) <= driver_threshold
         if small:
             import pandas as pd
 
-            pdf = distinct_pairs.toPandas()
             rows = list(zip(pdf["src"], pdf["dst"]))
             found = _driver_union_find(rows)
             # ship labels back through Arrow (a pandas frame), not a Python

@@ -61,12 +61,15 @@ def first_token_prune(
     kwargs for detect_mentions — ``{"first_tokens": [...]}`` (in-array InSet
     probe, cheapest) when the distinct first-token set is plan-embeddable,
     else ``{"first_token_df": df}`` (post-explode broadcast semi-join, plan
-    and driver memory stay bounded by a size check that never materializes
-    the full set: limit(max_inset+1).count() early-exits)."""
+    and driver memory stay bounded: the probe collects at most
+    max_inset+1 rows, never the full set). ONE job either way — the probe
+    collect IS the token list when it fits (the previous
+    count-then-collect pair scanned the dictionary twice)."""
     df = alias_first_token_df(alias_dict, alias_col)
-    if df.limit(max_inset + 1).count() > max_inset:
+    rows = df.limit(max_inset + 1).collect()
+    if len(rows) > max_inset:
         return {"first_token_df": df}
-    return {"first_tokens": [r["first_token"] for r in df.collect()]}
+    return {"first_tokens": [r["first_token"] for r in rows]}
 
 
 def detect_mentions(
